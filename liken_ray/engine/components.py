@@ -1,0 +1,226 @@
+"""Connected components: in-memory union-find plus a distributed
+min-label-propagation implementation over an edge Dataset.
+
+The reference unions similarity pairs into ``networkx`` UnionFind per table
+(``src/liken/core/deduper.py:103-125``). Here:
+
+- ``UnionFind`` — a tight array-based DSU for local tables / per-bucket work.
+- ``connected_components_distributed`` — edges ``(src, dst)`` as a
+  ``ray.data.Dataset`` → labels ``(node, label)`` where label = min node id
+  of the component, computed by alternating ``groupby().min`` label
+  propagation until fixpoint (O(log diameter) rounds). Used when the edge
+  set is too large to collect; below the threshold the driver-side DSU wins
+  (edges ≪ rows in realistic dedup workloads).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterable
+
+import numpy as np
+
+
+class UnionFind:
+    """Array-based DSU with path halving + union by size."""
+
+    __slots__ = ("parent", "size")
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+        self.size = [1] * n
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+    def components(self, n: int | None = None) -> dict[int, list[int]]:
+        """root -> members (ascending), over ``range(n)`` including
+        singletons — the shape the canonicalizer consumes."""
+        n = len(self.parent) if n is None else n
+        comps: dict[int, list[int]] = defaultdict(list)
+        for i in range(n):
+            comps[self.find(i)].append(i)
+        return comps
+
+
+def union_find_from_edges(n: int, edges: Iterable[tuple[int, int]]) -> UnionFind:
+    uf = UnionFind(n)
+    for i, j in edges:
+        uf.union(i, j)
+    return uf
+
+
+class KeyedUnionFind:
+    """DSU over arbitrary hashable node ids (e.g. global row_ids)."""
+
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        parent = self.parent
+        if x not in parent:
+            parent[x] = x
+            return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+    def labels(self) -> dict:
+        """node -> min member of its component (deterministic)."""
+        roots: dict = {}
+        for node in list(self.parent):
+            r = self.find(node)
+            cur = roots.get(r)
+            if cur is None or node < cur:
+                roots[r] = node
+        return {node: roots[self.find(node)] for node in self.parent}
+
+
+# ---------------------------------------------------------------------------
+# distributed label propagation
+# ---------------------------------------------------------------------------
+
+
+def connected_components_edges_numpy(src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
+    """Vectorized-ish DSU over numpy edge arrays → {node: min-member label}.
+    Used by the driver-side path after collecting the (small) edge dataset.
+    """
+    uf = KeyedUnionFind()
+    for a, b in zip(src.tolist(), dst.tolist()):
+        uf.union(a, b)
+    return uf.labels()
+
+
+def connected_components_distributed(edges_ds, max_rounds: int = 50):
+    """Distributed connected components over an edge Dataset with columns
+    ``(src, dst)`` (int64 node ids). Returns a Dataset ``(node, label)``
+    covering every node that appears in an edge; label = component min.
+
+    Algorithm: undirected min-neighbor propagation. Each round:
+      label(v) <- min(label(v), min over neighbors of label(u))
+    implemented as: current assignment A=(node,label); propagate labels along
+    edges by joining A onto both endpoints, emit (dst, label(src)) and
+    (src, label(dst)), union with A, ``groupby(node).min(label)``. Stops when
+    the sum of labels is unchanged (monotone decreasing → valid fixpoint
+    test). Each round is one aggregate shuffle; rounds ~ O(log diameter)
+    for the star/path mixtures dedup produces.
+    """
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def to_edge_table(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"].cast(pa.int64()),
+                "dst": batch["dst"].cast(pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(to_edge_table, batch_format="pyarrow")
+
+    # symmetric closure once; self-contributions keep labels monotone
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": np.concatenate([src, dst]),
+                "b": np.concatenate([dst, src]),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # initial labels: node -> min(node, min neighbor)
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": a, "label": np.minimum(a, b)})
+
+    labels = (
+        sym.map_batches(seed, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+        # join labels onto edge sources via a tagged union + groupby:
+        # rows (key=node) carrying either a label or a neighbor; per group,
+        # emit (neighbor, group_label) for every neighbor + (node, label).
+        lab_tagged = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["node"],
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "lab": t["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_tagged = sym.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t["a"],
+                    "nbr": t["b"].cast(pa.int64()),
+                    "lab": pa.nulls(t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def propagate(group: pa.Table) -> pa.Table:
+            labs = group["lab"].to_numpy(zero_copy_only=False)
+            nbrs = group["nbr"].to_numpy(zero_copy_only=False)
+            keys = group["key"].to_numpy(zero_copy_only=False)
+            lab_vals = labs[~np.isnan(labs)] if labs.dtype.kind == "f" else labs[labs != None]  # noqa: E711
+            if len(lab_vals) == 0:
+                lab = int(keys[0])
+            else:
+                lab = int(np.min(lab_vals))
+            nbr_mask = ~np.isnan(nbrs) if nbrs.dtype.kind == "f" else nbrs != None  # noqa: E711
+            out_nodes = np.concatenate([nbrs[nbr_mask].astype(np.int64), keys[:1].astype(np.int64)])
+            out_labels = np.full(len(out_nodes), lab, dtype=np.int64)
+            return pa.table({"node": out_nodes, "label": out_labels})
+
+        labels = (
+            lab_tagged.union(edge_tagged)
+            .groupby("key")
+            .map_groups(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+
+    return labels

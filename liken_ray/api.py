@@ -170,6 +170,10 @@ class Dedupe:
         return _from_arrow(synthesize_table(table), kind)
 
     def collect(self) -> Any:
+        if self._is_ray:
+            from liken_ray.engine.executor import strip_internal
+
+            return strip_internal(self._df)
         return self._df
 
     def explain(self) -> str | None:

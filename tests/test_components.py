@@ -1,0 +1,69 @@
+"""Connected-components correctness: driver DSU and distributed label
+propagation vs networkx on random graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from liken_ray.engine.components import (
+    KeyedUnionFind,
+    UnionFind,
+    connected_components_distributed,
+)
+
+
+def _random_edges(rng, n_nodes, n_edges):
+    return [
+        (int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+        for _ in range(n_edges)
+    ]
+
+
+def _nx_labels(edges):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    labels = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for node in comp:
+            labels[node] = root
+    return labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_keyed_union_find_matches_networkx(seed):
+    rng = np.random.default_rng(seed)
+    edges = _random_edges(rng, 200, 300)
+    uf = KeyedUnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    assert uf.labels() == _nx_labels(edges)
+
+
+def test_union_find_components_cover_all_rows():
+    uf = UnionFind(6)
+    uf.union(0, 3)
+    uf.union(3, 5)
+    comps = uf.components()
+    members = sorted(m for ms in comps.values() for m in ms)
+    assert members == [0, 1, 2, 3, 4, 5]
+    assert sorted(next(ms for ms in comps.values() if 0 in ms)) == [0, 3, 5]
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_distributed_label_propagation_matches_networkx(ray_session, seed):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    edges = _random_edges(rng, 500, 600)
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    edges_ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+
+    labels_ds = connected_components_distributed(edges_ds)
+    got = {r["node"]: r["label"] for r in labels_ds.take_all()}
+    assert got == _nx_labels(edges)

@@ -1,0 +1,131 @@
+"""Perceptual image hashing + pixel-level verification kernels.
+
+Implements the classic pHash construction (grayscale → 32×32 area-resample →
+2-D DCT-II → top-left 8×8 low-frequency block → median threshold → 64-bit
+hash), SimHash-style band keys over the hash bits for blocking, Hamming
+verification and PSNR. All numpy; the DCT is a cached basis-matrix matmul
+(no scipy).
+
+Decoding: ``fmt="raw"`` = w*h*3 interleaved uint8 RGB. Compressed formats
+(png/jpeg) need an image library that is not available in this sandbox —
+``decode_image`` raises ``NotImplementedError`` for them with a pluggable
+decoder registry so the Ray-side plumbing stays format-agnostic.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable
+
+import numpy as np
+
+HASH_SIZE = 8
+RESAMPLE = 32
+
+# fmt -> decoder(bytes, w, h) -> (h, w, 3) uint8
+DECODERS: dict[str, Callable[[bytes, int, int], np.ndarray]] = {}
+
+
+def register_decoder(fmt: str, fn: Callable[[bytes, int, int], np.ndarray]) -> None:
+    DECODERS[fmt] = fn
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != w * h * 3:
+        raise ValueError(f"raw payload has {arr.size} bytes, expected {w * h * 3}")
+    return arr.reshape(h, w, 3)
+
+
+register_decoder("raw", decode_raw)
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    try:
+        decoder = DECODERS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"no decoder for fmt={fmt!r} in this environment; register one via "
+            "liken_ray.kernels.phash.register_decoder (e.g. a PIL-backed "
+            "decoder where Pillow is installed)"
+        )
+    return decoder(data, w, h)
+
+
+@lru_cache(maxsize=8)
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n, n): X = B @ x."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    b = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    b *= np.sqrt(2.0 / n)
+    b[0] *= np.sqrt(0.5)
+    return b
+
+
+def _area_resample(gray: np.ndarray, size: int) -> np.ndarray:
+    """Box/area downsample to (size, size) — deterministic, no interpolation
+    library needed. Handles non-divisible shapes by edge-padding."""
+    h, w = gray.shape
+    if h == size and w == size:
+        return gray.astype(np.float64)
+    ph = (-h) % size
+    pw = (-w) % size
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+        h, w = gray.shape
+    fh, fw = h // size, w // size
+    return gray.reshape(size, fh, size, fw).mean(axis=(1, 3))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 RGB image."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _area_resample(gray, RESAMPLE)
+    b = _dct_basis(RESAMPLE)
+    dct = b @ small @ b.T
+    low = dct[:HASH_SIZE, :HASH_SIZE]
+    med = np.median(low)
+    bits = (low > med).reshape(-1)
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def phash_batch(datas: list[bytes], ws, hs, fmts) -> np.ndarray:
+    out = np.empty(len(datas), dtype=np.uint64)
+    for i, (d, w, h, f) in enumerate(zip(datas, ws, hs, fmts)):
+        out[i] = np.uint64(phash64(decode_image(d, int(w), int(h), f)))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 hash arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.array(
+        [bin(int(v)).count("1") for v in x], dtype=np.int64
+    )
+
+
+def phash_band_keys(phashes: np.ndarray, bands: int = 4) -> np.ndarray:
+    """(n, bands) band keys: the 64-bit hash split into ``bands`` contiguous
+    bit-slices (SimHash-style blocking: two images within Hamming distance
+    < bands must share at least one band exactly)."""
+    ph = phashes.astype(np.uint64)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((len(ph), bands), dtype=np.uint64)
+    for b in range(bands):
+        out[:, b] = (ph >> np.uint64(b * width)) & mask
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images; inf for
+    identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,186 @@
+"""Suffix-array substring-duplication kernels (Lee et al. 2021-style
+substring dedup for long documents).
+
+- ``suffix_array``: prefix-doubling construction, O(n log² n), pure numpy.
+- ``duplicate_substring_pairs``: given a list of documents, build the
+  suffix array over their separator-joined concatenation and emit document
+  pairs that share a common substring of at least ``min_len`` bytes
+  (adjacent-suffix LCP scan — two docs share an ≥L substring iff some pair
+  of their suffixes, adjacent in suffix order, has LCP ≥ L).
+- ``gram_fingerprints``: stride-sampled rolling-hash L-gram fingerprints for
+  cross-partition blocking: any two docs sharing an ≥(2L)-byte substring
+  share at least one sampled L-gram, so a ``groupby(fingerprint)`` shuffle
+  co-locates cross-partition candidates which are then verified with the
+  suffix-array kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEP = 0  # document separator byte value sentinel (never matches content+1)
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 (or small-int) sequence via prefix doubling."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = data.astype(np.int64)
+    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        # sort by (rank[i], rank[i+k]) — argsort on composite via lexsort
+        rank2 = np.full(n, -1, dtype=np.int64)
+        rank2[: n - k] = rank[k:]
+        order = np.lexsort((rank2, rank))
+        # recompute ranks
+        prev_r = rank[order]
+        prev_r2 = rank2[order]
+        change = np.ones(n, dtype=bool)
+        change[1:] = (prev_r[1:] != prev_r[:-1]) | (prev_r2[1:] != prev_r2[:-1])
+        tmp[order] = np.cumsum(change) - 1
+        rank, tmp = tmp.copy(), rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa.astype(np.int64)
+
+
+def _lcp_at_least(data: np.ndarray, i: int, j: int, min_len: int) -> bool:
+    """True if suffixes at i and j share a common prefix of >= min_len bytes
+    (bounded comparison — no full LCP needed)."""
+    n = len(data)
+    end = min(min_len, n - i, n - j)
+    if end < min_len:
+        return False
+    return bool(np.array_equal(data[i : i + min_len], data[j : j + min_len]))
+
+
+def duplicate_substring_pairs(
+    docs: list[bytes], min_len: int = 50
+) -> set[tuple[int, int]]:
+    """Pairs (i < j) of documents sharing a common substring >= min_len."""
+    if len(docs) < 2:
+        return set()
+    # concat with unique separator (shift content bytes by +1 so 0 is free)
+    parts = []
+    doc_of = []
+    for di, d in enumerate(docs):
+        arr = np.frombuffer(d, dtype=np.uint8).astype(np.int64) + 1
+        parts.append(arr)
+        parts.append(np.array([_SEP], dtype=np.int64))
+        doc_of.append(np.full(len(arr) + 1, di, dtype=np.int64))
+    data = np.concatenate(parts)
+    owner = np.concatenate(doc_of)
+
+    sa = suffix_array(data)
+    pairs: set[tuple[int, int]] = set()
+    # adjacent suffixes in SA order with LCP >= min_len and different owners.
+    # Because LCP of non-adjacent suffixes is the min over the interval,
+    # cross-doc repeats >= min_len always produce at least one adjacent
+    # cross-owner pair within the run of suffixes sharing the prefix — we
+    # scan runs: while adjacent LCP >= min_len, collect owners of the run.
+    run_owners: set[int] = set()
+    prev = sa[0]
+    for idx in range(1, len(sa)):
+        cur = sa[idx]
+        if _lcp_at_least(data, int(prev), int(cur), min_len):
+            run_owners.add(int(owner[prev]))
+            run_owners.add(int(owner[cur]))
+        else:
+            if len(run_owners) > 1:
+                ordered = sorted(run_owners)
+                root = ordered[0]
+                for other in ordered[1:]:
+                    pairs.add((root, other))
+            run_owners = set()
+        prev = cur
+    if len(run_owners) > 1:
+        ordered = sorted(run_owners)
+        root = ordered[0]
+        for other in ordered[1:]:
+            pairs.add((root, other))
+    return pairs
+
+
+_GRAM_BASE = np.uint64(0x100000001B3)  # odd -> invertible mod 2^64
+
+
+def _pow_mod64(base: np.uint64, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.uint64(1)
+        for i in range(n):
+            out[i] = acc
+            acc = acc * base
+    return out
+
+
+def _inv_mod64(x: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd uint64 modulo 2^64 (Newton lift)."""
+    with np.errstate(over="ignore"):
+        inv = x  # correct mod 2^3
+        for _ in range(5):
+            inv = inv * (np.uint64(2) - x * inv)
+    return inv
+
+
+def gram_fingerprints(text: bytes, gram_len: int = 50, window: int = 16) -> np.ndarray:
+    """Winnowing fingerprints: rolling polynomial hashes of every
+    ``gram_len``-byte gram, one minimum selected per ``window`` consecutive
+    grams. Content-defined, so any two documents sharing a substring of at
+    least ``gram_len + window - 1`` bytes share at least one fingerprint —
+    the guarantee cross-partition blocking relies on."""
+    arr = np.frombuffer(text, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    n = len(arr)
+    if n < gram_len:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _pow_mod64(_GRAM_BASE, n)
+        weighted = arr * powers
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+        inv = _inv_mod64(_GRAM_BASE)
+        inv_powers = _pow_mod64(inv, n - gram_len + 1)
+        grams = (prefix[gram_len:] - prefix[: n - gram_len + 1]) * inv_powers
+        # mix so the min-selection is not biased by low bytes
+        grams = grams * np.uint64(0x9E3779B97F4A7C15)
+        grams ^= grams >> np.uint64(31)
+    if len(grams) <= window:
+        return np.unique(grams.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(grams, window).min(axis=1)
+    return np.unique(mins)
+
+
+def longest_common_substring_len(a: bytes, b: bytes) -> int:
+    """Exact longest common substring length of two byte strings via the
+    suffix array of their concatenation."""
+    pairs_len = 0
+    arr_a = np.frombuffer(a, dtype=np.uint8).astype(np.int64) + 1
+    arr_b = np.frombuffer(b, dtype=np.uint8).astype(np.int64) + 1
+    data = np.concatenate([arr_a, np.array([_SEP], dtype=np.int64), arr_b])
+    owner = np.concatenate(
+        [np.zeros(len(arr_a) + 1, dtype=np.int64), np.ones(len(arr_b), dtype=np.int64)]
+    )
+    sa = suffix_array(data)
+    n = len(data)
+    for idx in range(1, len(sa)):
+        i, j = int(sa[idx - 1]), int(sa[idx])
+        if owner[i] == owner[j]:
+            continue
+        # direct LCP of the adjacent cross-owner suffixes
+        limit = min(n - i, n - j)
+        a_sl = data[i : i + limit]
+        b_sl = data[j : j + limit]
+        neq = np.nonzero(a_sl != b_sl)[0]
+        lcp = int(neq[0]) if len(neq) else limit
+        # do not count across the separator
+        if _SEP in set(data[i : i + lcp].tolist()):
+            sep_pos = np.nonzero(data[i : i + lcp] == _SEP)[0]
+            lcp = int(sep_pos[0])
+        pairs_len = max(pairs_len, lcp)
+    return pairs_len

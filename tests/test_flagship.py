@@ -1,0 +1,100 @@
+"""Flagship pipeline: planted-cluster recall, invariants, resume."""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import shutil
+
+import pytest
+
+from liken_ray.io.synth import write_pairs_dataset
+from liken_ray.pipelines.flagship import run_flagship
+
+
+def _truth_pairs(truth_rows):
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in truth_rows:
+        if r["kind"] != "singleton":
+            by_cluster[r["true_cluster_id"]].append(r["image_id"])
+    pairs = set()
+    for members in by_cluster.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add((a, b))
+    return pairs
+
+
+def _predicted_pairs(assign_rows):
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for r in assign_rows:
+        by_cluster[r["cluster_id"]].append(r["image_id"])
+    pairs = set()
+    for members in by_cluster.values():
+        if len(members) < 2:
+            continue
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add((a, b))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pairs1k"))
+    write_pairs_dataset(out, n_rows=1000, seed=42, shards=4)
+    return out
+
+
+def test_flagship_recall_and_precision(ray_session, synth_dir):
+    import pyarrow.parquet as pq
+
+    result = run_flagship(os.path.join(synth_dir, "pairs"), {"psnr_verify": True})
+    assign = result["assignments"].take_all()
+    truth = pq.read_table(os.path.join(synth_dir, "truth.parquet")).to_pylist()
+
+    tp = _truth_pairs(truth)
+    pp = _predicted_pairs(assign)
+    recall = len(tp & pp) / len(tp)
+    precision = len(tp & pp) / max(1, len(pp))
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(tp - pp)} missed of {len(tp)})"
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert result["rows"] == 1000
+    # metrics present for every stage
+    stages = result["metrics"]["stages"]
+    for name in ("ingest", "caption_edges", "image_edges", "substring_edges", "components"):
+        assert name in stages, name
+
+
+def test_flagship_resume(ray_session, synth_dir, tmp_path):
+    run_dir = str(tmp_path / "run")
+    r1 = run_flagship(os.path.join(synth_dir, "pairs"), run_dir=run_dir)
+    a1 = sorted(
+        (r["image_id"], r["cluster_id"]) for r in r1["assignments"].take_all()
+    )
+    # simulate a crash after the edge stages: kill the downstream stage
+    shutil.rmtree(os.path.join(run_dir, "assign"))
+    r2 = run_flagship(os.path.join(synth_dir, "pairs"), run_dir=run_dir)
+    a2 = sorted(
+        (r["image_id"], r["cluster_id"]) for r in r2["assignments"].take_all()
+    )
+    assert a1 == a2
+    # the edge stages were resumed, not recomputed
+    assert r2["metrics"]["stages"]["caption_edges"]["resumed"] is True
+    assert r2["metrics"]["stages"]["image_edges"]["resumed"] is True
+    # manifests exist and carry the config hash
+    with open(os.path.join(run_dir, "caption_edges", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["config_hash"] == r2["metrics"]["config_hash"]
+
+
+def test_flagship_config_change_invalidates_checkpoints(ray_session, synth_dir, tmp_path):
+    run_dir = str(tmp_path / "run2")
+    run_flagship(os.path.join(synth_dir, "pairs"), run_dir=run_dir)
+    r2 = run_flagship(
+        os.path.join(synth_dir, "pairs"), {"max_hamming": 4}, run_dir=run_dir
+    )
+    assert r2["metrics"]["stages"]["image_edges"].get("resumed") is not True

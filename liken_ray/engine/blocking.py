@@ -1,0 +1,250 @@
+"""High-throughput key-bucket edge generation with in-block verification.
+
+``bucket_edges(ds, key_cols, rid_col)`` turns a keyed Dataset into candidate
+(or verified) edges ``(src, dst)``. The naïve ``groupby(keys).map_groups``
+pays one Python UDF call per distinct key — millions of mostly-singleton
+buckets in LSH blocking — and collecting raw bucket rows to the driver
+serializes the pipeline. Instead:
+
+1. one global ``sort(key_cols)`` (the only shuffle);
+2. ONE vectorized segmented scan per sorted block (lexsort already done by
+   the sort; boundary diff + repeat) emitting edges with zero per-bucket
+   Python — optionally verifying candidate pairs right in the block via a
+   user kernel over payload columns, so only *verified* edges (≈ duplicate
+   rows, not band rows) leave the workers;
+3. runs that straddle block boundaries are resolved through tiny per-block
+   *summary rows* (first/last run of each block, capped): the driver builds
+   the few cross-block pairs and verifies them with the same kernel —
+   O(num_blocks) driver work, independent of dataset size.
+
+``verify_fn(table, src_pos, dst_pos) -> bool mask`` sees the block-local
+table (with payload columns) and positional pair indices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+VerifyFn = Callable[[pa.Table, np.ndarray, np.ndarray], np.ndarray]
+
+_SUMMARY_CAP = 64  # max boundary rows carried per block edge
+
+
+def _key_hash(values: tuple) -> int:
+    h = hashlib.blake2b(repr(values).encode("utf8"), digest_size=8).digest()
+    v = int.from_bytes(h, "little")
+    return v or 1  # 0 is the "not a summary" marker
+
+
+def _run_boundaries(keys: list[np.ndarray], n: int) -> np.ndarray:
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return change
+
+
+def _emit_pairs(sr: np.ndarray, starts, lens, cap: int):
+    """Candidate pair positions for runs (vectorized star; python only over
+    runs with >=2 members for capped all-pairs)."""
+    src_parts, dst_parts = [], []
+    if cap <= 1:
+        change = np.zeros(len(sr), dtype=bool)
+        change[starts] = True
+        firsts = np.repeat(starts, lens)
+        nonfirst = ~change
+        if nonfirst.any():
+            src_parts.append(firsts[nonfirst])
+            dst_parts.append(np.flatnonzero(nonfirst))
+    else:
+        for ri in np.flatnonzero(lens >= 2):
+            s = int(starts[ri])
+            ln = int(lens[ri])
+            if ln <= cap:
+                iu, ju = np.triu_indices(ln, 1)
+                src_parts.append(iu + s)
+                dst_parts.append(ju + s)
+            else:
+                src_parts.append(np.full(ln - 1, s, dtype=np.int64))
+                dst_parts.append(np.arange(s + 1, s + ln, dtype=np.int64))
+    if not src_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(src_parts), np.concatenate(dst_parts)
+
+
+def _scan_block(
+    batch: pa.Table,
+    key_cols: list[str],
+    rid_col: str,
+    cap: int,
+    payload_cols: list[str],
+    verify_fn: VerifyFn | None,
+) -> pa.Table:
+    """Emit (src, dst, keyh) rows: keyh == 0 → a (verified) edge;
+    keyh != 0 → a boundary-summary row (dst = rid) plus payload columns."""
+    n = batch.num_rows
+    payload_schema = {c: batch.schema.field(c).type for c in payload_cols}
+
+    def build(src, dst, keyh, summary_idx=None):
+        cols: dict[str, Any] = {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "keyh": pa.array(keyh, pa.uint64()),
+        }
+        for c, typ in payload_schema.items():
+            if summary_idx is None:
+                cols[c] = pa.nulls(len(src), typ)
+            else:
+                cols[c] = batch[c].take(pa.array(summary_idx, pa.int64()))
+        return pa.table(cols)
+
+    if n == 0:
+        return build([], [], [])
+
+    rid = batch[rid_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    # blocks arrive sorted by key from the upstream sort; sort rid within
+    # runs for deterministic min-representatives
+    change = _run_boundaries(keys, n)
+    run_ids = np.cumsum(change) - 1
+    order = np.lexsort((rid, run_ids))
+    batch = batch.take(pa.array(order, pa.int64()))
+    rid = rid[order]
+    keys = [k[order] for k in keys]
+    change = _run_boundaries(keys, n)
+
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+
+    src_pos, dst_pos = _emit_pairs(rid, starts, lens, cap)
+    if verify_fn is not None and len(src_pos):
+        mask = verify_fn(batch, src_pos, dst_pos)
+        src_pos, dst_pos = src_pos[mask], dst_pos[mask]
+
+    edges = build(rid[src_pos], rid[dst_pos], np.zeros(len(src_pos), dtype=np.uint64))
+
+    # boundary summaries: first and last run of the block (they may continue
+    # into neighbouring blocks)
+    summary_tables = []
+    boundary_runs = {0, len(starts) - 1}
+    for ri in boundary_runs:
+        s = int(starts[ri])
+        ln = min(int(lens[ri]), _SUMMARY_CAP)
+        keyh = _key_hash(tuple(k[s] for k in keys))
+        idx = np.arange(s, s + ln)
+        summary_tables.append(
+            build(
+                np.full(ln, -1, dtype=np.int64),
+                rid[idx],
+                np.full(ln, keyh, dtype=np.uint64),
+                summary_idx=idx,
+            )
+        )
+    return pa.concat_tables([edges] + summary_tables, promote_options="default")
+
+
+def bucket_edges(
+    ds,
+    key_cols: list[str],
+    rid_col: str,
+    pair_cap: int = 1,
+    payload_cols: list[str] | None = None,
+    verify_fn: VerifyFn | None = None,
+):
+    """Edges from key collisions, optionally verified in-block.
+
+    Returns the deduped (src, dst) edge list (size ≈ duplicate rows — the
+    only data that reaches the driver). ``pair_cap<=1`` → star edges
+    (sufficient for connected components); ``pair_cap=k`` → all pairs for
+    buckets up to k rows, star beyond (skew guard).
+    """
+    payload_cols = payload_cols or []
+    keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
+    sorted_ds = keyed.sort(list(key_cols))
+    scanned = sorted_ds.map_batches(
+        _scan_block,
+        fn_kwargs={
+            "key_cols": list(key_cols),
+            "rid_col": rid_col,
+            "cap": pair_cap,
+            "payload_cols": payload_cols,
+            "verify_fn": verify_fn,
+        },
+        batch_format="pyarrow",
+        batch_size=None,  # one scan per sorted block
+    )
+
+    # the scan output is already compact (verified edges + O(blocks)
+    # boundary summaries) — ONE execution, one driver pull
+    rows = scanned.take_all()
+    edge_list: list[tuple[int, int]] = []
+    summaries: list[dict] = []
+    for r in rows:
+        if r["keyh"] == 0:
+            edge_list.append((r["src"], r["dst"]))
+        else:
+            summaries.append(r)
+
+    extra_src: list[int] = []
+    extra_dst: list[int] = []
+    if summaries:
+        by_key: dict[int, list[dict]] = {}
+        for row in summaries:
+            by_key.setdefault(row["keyh"], []).append(row)
+        for rows in by_key.values():
+            rids_here = sorted({r["dst"] for r in rows})
+            if len(rids_here) < 2:
+                continue
+            rows = sorted(rows, key=lambda r: r["dst"])
+            seen = set()
+            uniq_rows = []
+            for r in rows:
+                if r["dst"] not in seen:
+                    seen.add(r["dst"])
+                    uniq_rows.append(r)
+            k = len(uniq_rows)
+            if 1 < pair_cap and k <= pair_cap:
+                cand = [(i, j) for i in range(k) for j in range(i + 1, k)]
+            else:
+                cand = [(0, j) for j in range(1, k)]
+            if verify_fn is None:
+                for i, j in cand:
+                    extra_src.append(uniq_rows[i]["dst"])
+                    extra_dst.append(uniq_rows[j]["dst"])
+            else:
+                # verify kernels consume only payload columns by position
+                tbl = pa.table(
+                    {c: pa.array([r[c] for r in uniq_rows]) for c in payload_cols}
+                )
+                sp = np.array([c[0] for c in cand], dtype=np.int64)
+                dp = np.array([c[1] for c in cand], dtype=np.int64)
+                mask = verify_fn(tbl, sp, dp)
+                for (i, j), ok in zip(cand, mask):
+                    if ok:
+                        extra_src.append(uniq_rows[i]["dst"])
+                        extra_dst.append(uniq_rows[j]["dst"])
+
+    edge_list.extend(zip(extra_src, extra_dst))
+    # dedupe with canonical orientation
+    return list({(min(a, b), max(a, b)) for a, b in edge_list})
+
+
+def collect_edges(edges) -> list[tuple[int, int]]:
+    """Edges (list or Dataset) -> deduped python pairs."""
+    if isinstance(edges, list):
+        return edges
+    seen: set[tuple[int, int]] = set()
+    for batch in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        if batch.num_rows == 0:
+            continue
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        seen.update(zip(lo.tolist(), hi.tolist()))
+    return list(seen)

@@ -161,21 +161,10 @@ def edges_exact(ds, columns: Columns, preprocessors, candidate_ref) -> list[tupl
             out["k0"] = pc.binary_join_element_wise(*parts, "\x02")
         return pa.table(out)
 
-    key_cols = ["k0"]
     keyed = _filter_candidates(ds, candidate_ref).map_batches(keyize, batch_format="pyarrow")
+    from liken_ray.engine.blocking import bucket_edges, collect_edges
 
-    def star(group: pa.Table) -> pa.Table:
-        rid = group[ROW_ID].to_numpy(zero_copy_only=False)
-        if len(rid) < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        root = int(rid.min())
-        dst = rid[rid != root]
-        return pa.table(
-            {"src": np.full(len(dst), root, dtype=np.int64), "dst": dst.astype(np.int64)}
-        )
-
-    edge_ds = keyed.groupby(key_cols).map_groups(star, batch_format="pyarrow")
-    return [(r["src"], r["dst"]) for r in edge_ds.take_all()]
+    return collect_edges(bucket_edges(keyed, ["k0"], ROW_ID, pair_cap=1))
 
 
 def minhash_band_stage(
@@ -218,18 +207,9 @@ def edges_lsh(
         batch_format="pyarrow",
     )
 
-    def star(group: pa.Table) -> pa.Table:
-        rid = np.unique(group[ROW_ID].to_numpy(zero_copy_only=False))
-        if len(rid) < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        root = int(rid.min())
-        dst = rid[rid != root]
-        return pa.table(
-            {"src": np.full(len(dst), root, dtype=np.int64), "dst": dst.astype(np.int64)}
-        )
+    from liken_ray.engine.blocking import bucket_edges, collect_edges
 
-    edge_ds = banded.groupby(["band", "key"]).map_groups(star, batch_format="pyarrow")
-    return [(r["src"], r["dst"]) for r in edge_ds.take_all()]
+    return collect_edges(bucket_edges(banded, ["band", "key"], ROW_ID, pair_cap=1))
 
 
 def matched_predicate(ds, column: str, deduper: PredicateDeduper, preprocessors, candidate_ref) -> list[int]:

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``topk_cosine_bruteforce``: exact top-k — the query matrix is broadcast
+  once (``ray.put``), every batch does one numpy matmul and emits its local
+  top-k candidates, a final tiny reduce keeps the global top-k. Scales as
+  one streaming pass over the corpus; no shuffle.
+- ``topk_cosine_ivf``: IVF-style scale path — corpus bucketed by nearest
+  of ``n_cells`` sampled centroid vectors (one ``groupby``), queries probe
+  only their ``n_probe`` nearest cells.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def topk_cosine_bruteforce(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, similarity), rank 0-based by
+    descending similarity with neighbor_id as the deterministic tie-break.
+    """
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qm, list(query_ids)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if vecs.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "similarity": pa.array([], pa.float64())}
+            )
+        nv = _normalize(vecs)
+        sims = qmat @ nv.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k + (1 if exclude_self else 0), nb)
+        out_q, out_n, out_s = [], [], []
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for qi in range(nq):
+            for j in part[qi]:
+                out_q.append(int(qids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "similarity": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+
+    best: dict[int, list] = {}
+    for r in candidates:
+        q = r["query_id"]
+        if exclude_self and r["neighbor_id"] == q:
+            continue
+        # heap key: (similarity, -neighbor_id) so ties prefer smaller id
+        heapq.heappush(best.setdefault(q, []), (r["similarity"], -r["neighbor_id"]))
+        if len(best[q]) > k:
+            heapq.heappop(best[q])
+
+    rows_q, rows_n, rows_r, rows_s = [], [], [], []
+    for q in sorted(best):
+        ranked = sorted(best[q], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_id) in enumerate(ranked):
+            rows_q.append(q)
+            rows_n.append(-neg_id)
+            rows_r.append(rank)
+            rows_s.append(sim)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "rank": pa.array(rows_r, pa.int64()),
+            "similarity": pa.array(rows_s, pa.float64()),
+        }
+    )
+
+
+def topk_cosine_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> pa.Table:
+    """IVF-bucketed approximate top-k: centroids from a seeded sample of the
+    corpus; each query scans only its ``n_probe`` nearest cells."""
+    sample = ds.random_sample(min(1.0, (n_cells * 20) / max(1, ds.count())), seed=seed)
+    sample_vecs = np.array(
+        [r[vec_col] for r in sample.take(n_cells * 20)], dtype=np.float64
+    )
+    if len(sample_vecs) < n_cells:
+        return topk_cosine_bruteforce(ds, queries, query_ids, k, vec_col, id_col)
+    rng = np.random.default_rng(seed)
+    centroids = _normalize(sample_vecs[rng.choice(len(sample_vecs), n_cells, replace=False)])
+    c_ref = ray.put(centroids)
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+    wanted = set(probe_cells.reshape(-1).tolist())
+    w_ref = ray.put(wanted)
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        want = ray.get(w_ref)
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return batch.slice(0, 0)
+        cells = np.argmax(_normalize(vecs) @ cents.T, axis=1)
+        mask = np.fromiter((int(c) in want for c in cells), dtype=bool, count=len(cells))
+        return batch.filter(pa.array(mask))
+
+    probed = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return topk_cosine_bruteforce(probed, queries, query_ids, k, vec_col, id_col)

@@ -35,6 +35,17 @@ def sha1_hash32(data: bytes) -> int:
     return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """Exact ``x % (2^61-1)`` for uint64 via two Mersenne folds — no 64-bit
+    integer division (numpy's uint64 ``%`` is a per-element C divide and
+    dominates signature time otherwise)."""
+    p = _MERSENNE_PRIME
+    s61 = np.uint64(61)
+    x = (x & p) + (x >> s61)
+    x = (x & p) + (x >> s61)
+    return np.where(x >= p, x - p, x)
+
+
 @lru_cache(maxsize=32)
 def permutations(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """The (a, b) permutation coefficients, drawn in the canonical order:
@@ -73,7 +84,7 @@ def signature_from_token_hashes(
         return empty_signature(a.shape[0])
     th = token_hashes.astype(np.uint64)
     with np.errstate(**_ERR):
-        phv = (th[:, None] * a[None, :] + b[None, :]) % _MERSENNE_PRIME
+        phv = _mod_mersenne(th[:, None] * a[None, :] + b[None, :])
     phv &= _MAX_HASH
     return phv.min(axis=0)
 
@@ -84,20 +95,46 @@ def batch_signatures(
     num_perm: int,
     na_placeholder: str | None = None,
     seed: int = 1,
+    chunk_elems: int = 500_000,
 ) -> np.ndarray:
     """Vectorized signatures for a batch of strings → (n, num_perm) uint64.
 
     Tokenization parity: character shingles ``text[i:i+ngram]`` over the
     Python string, UTF-8 encoded (reference ``dedupers/lsh.py:44-46,52-54``);
     a text shorter than ``ngram`` yields no tokens → the empty (all-max)
-    signature. Token hashes are cached across the batch (shingles repeat
-    heavily), which is where the wall-time goes otherwise.
+    signature.
+
+    The per-row min is computed as a segmented reduction
+    (``np.minimum.reduceat``) over (total_tokens, num_perm) permuted-hash
+    chunks — no per-row numpy dispatch. ``chunk_elems`` bounds the chunk so
+    its temporaries stay cache-resident (a few MB): larger chunks go memory-
+    bandwidth-bound and run ~10x slower. Token SHA1s are cached across the
+    batch (shingles repeat heavily).
     """
     a, b = permutations(num_perm, seed)
     n = len(texts)
     out = np.empty((n, num_perm), dtype=np.uint64)
 
     cache: dict[str, int] = {}
+
+    def flush(rows: list[int], hash_lists: list[np.ndarray]) -> None:
+        if not rows:
+            return
+        h = np.concatenate(hash_lists)
+        offsets = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum([len(x) for x in hash_lists[:-1]], out=offsets[1:])
+        with np.errstate(**_ERR):
+            phv = h[:, None] * a[None, :]
+            phv += b[None, :]
+            phv = _mod_mersenne(phv)
+        phv &= _MAX_HASH
+        mins = np.minimum.reduceat(phv, offsets, axis=0)
+        out[rows] = mins
+
+    pend_rows: list[int] = []
+    pend_hashes: list[np.ndarray] = []
+    pend_tokens = 0
+    max_tokens = max(1, chunk_elems // num_perm)
 
     for i, text in enumerate(texts):
         if text is None:
@@ -119,7 +156,13 @@ def batch_signatures(
             dtype=np.uint64,
             count=len(toks),
         )
-        out[i] = signature_from_token_hashes(hashes, a, b)
+        pend_rows.append(i)
+        pend_hashes.append(hashes)
+        pend_tokens += len(toks)
+        if pend_tokens >= max_tokens:
+            flush(pend_rows, pend_hashes)
+            pend_rows, pend_hashes, pend_tokens = [], [], 0
+    flush(pend_rows, pend_hashes)
     return out
 
 
@@ -129,13 +172,18 @@ def batch_signatures(
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=4)
+def _leggauss(nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    return np.polynomial.legendre.leggauss(nodes)
+
+
 def _gauss_integral(f, lo: float, hi: float, nodes: int = 160) -> float:
     """Gauss-Legendre quadrature; exact for polynomials of degree < 2*nodes,
     which covers ``(1-s^r)^b`` for any r*b <= num_perm <= 256 — i.e. this
     reproduces an adaptive quadrature of the same smooth integrand to machine
     precision.
     """
-    x, w = np.polynomial.legendre.leggauss(nodes)
+    x, w = _leggauss(nodes)
     xm = 0.5 * (hi - lo) * x + 0.5 * (hi + lo)
     return float(0.5 * (hi - lo) * np.sum(w * f(xm)))
 

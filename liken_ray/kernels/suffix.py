@@ -110,13 +110,10 @@ _GRAM_BASE = np.uint64(0x100000001B3)  # odd -> invertible mod 2^64
 
 
 def _pow_mod64(base: np.uint64, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
+    arr = np.full(n, base, dtype=np.uint64)
+    arr[0] = 1
     with np.errstate(over="ignore"):
-        acc = np.uint64(1)
-        for i in range(n):
-            out[i] = acc
-            acc = acc * base
-    return out
+        return np.cumprod(arr, dtype=np.uint64)
 
 
 def _inv_mod64(x: np.uint64) -> np.uint64:
@@ -128,12 +125,9 @@ def _inv_mod64(x: np.uint64) -> np.uint64:
     return inv
 
 
-def gram_fingerprints(text: bytes, gram_len: int = 50, window: int = 16) -> np.ndarray:
-    """Winnowing fingerprints: rolling polynomial hashes of every
-    ``gram_len``-byte gram, one minimum selected per ``window`` consecutive
-    grams. Content-defined, so any two documents sharing a substring of at
-    least ``gram_len + window - 1`` bytes share at least one fingerprint —
-    the guarantee cross-partition blocking relies on."""
+def rolling_gram_hashes(text: bytes, gram_len: int) -> np.ndarray:
+    """Vectorized 64-bit polynomial rolling hashes of every ``gram_len``-byte
+    window (wraparound arithmetic; base odd → invertible mod 2^64)."""
     arr = np.frombuffer(text, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
     n = len(arr)
     if n < gram_len:
@@ -145,9 +139,23 @@ def gram_fingerprints(text: bytes, gram_len: int = 50, window: int = 16) -> np.n
         inv = _inv_mod64(_GRAM_BASE)
         inv_powers = _pow_mod64(inv, n - gram_len + 1)
         grams = (prefix[gram_len:] - prefix[: n - gram_len + 1]) * inv_powers
-        # mix so the min-selection is not biased by low bytes
+        # avalanche so min-selection / bit-sampling is unbiased
         grams = grams * np.uint64(0x9E3779B97F4A7C15)
         grams ^= grams >> np.uint64(31)
+        grams = grams * np.uint64(0xBF58476D1CE4E5B9)
+        grams ^= grams >> np.uint64(27)
+    return grams
+
+
+def gram_fingerprints(text: bytes, gram_len: int = 50, window: int = 16) -> np.ndarray:
+    """Winnowing fingerprints: rolling polynomial hashes of every
+    ``gram_len``-byte gram, one minimum selected per ``window`` consecutive
+    grams. Content-defined, so any two documents sharing a substring of at
+    least ``gram_len + window - 1`` bytes share at least one fingerprint —
+    the guarantee cross-partition blocking relies on."""
+    grams = rolling_gram_hashes(text, gram_len)
+    if len(grams) == 0:
+        return grams
     if len(grams) <= window:
         return np.unique(grams.min(keepdims=True))
     from numpy.lib.stride_tricks import sliding_window_view

@@ -59,15 +59,15 @@ class Checkpointer:
         if not self.run_dir:
             t0 = time.perf_counter()
             result = compute(None)
-            self.metrics[name] = {"wall_s": round(time.perf_counter() - t0, 3), "resumed": False}
+            self.record(name, wall_s=round(time.perf_counter() - t0, 3), resumed=False)
             return result
 
         stage_dir = self._stage_dir(name)
         if self.is_done(name):
-            import ray.data
+            from liken_ray.io.read import safe_read_parquet
 
-            self.metrics[name] = {"resumed": True}
-            return ray.data.read_parquet(os.path.join(stage_dir, "data"))
+            self.record(name, resumed=True)
+            return safe_read_parquet(os.path.join(stage_dir, "data"))
 
         os.makedirs(stage_dir, exist_ok=True)
         t0 = time.perf_counter()
@@ -82,7 +82,7 @@ class Checkpointer:
         }
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=2)
-        self.metrics[name] = {"wall_s": wall, "resumed": False}
+        self.record(name, wall_s=wall, resumed=False)
         return result
 
     def record(self, name: str, **extra: Any) -> None:

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from liken_ray.engine.blocking import bucket_edges, collect_edges
 from liken_ray.engine.components import KeyedUnionFind, connected_components_distributed
 from liken_ray.kernels import minhash as mh
 from liken_ray.kernels import phash as ph
@@ -83,81 +84,119 @@ DEFAULT_CONFIG: dict[str, Any] = {
 def _ingest(source, cfg) -> ray.data.Dataset:
     """(rid, image_id, caption, phash) with a global positional rid."""
     if isinstance(source, str):
-        ds = ray.data.read_parquet(source, columns=["image_id", "caption", "phash"])
+        from liken_ray.io.read import safe_read_parquet
+
+        ds = safe_read_parquet(source, columns=["image_id", "caption", "phash"])
+        n = ds.count()  # parquet metadata only — no read
     else:
-        ds = source.select_columns(["image_id", "caption", "phash"])
-    ds = ds.materialize()
-    n = ds.count()
+        ds = source.select_columns(["image_id", "caption", "phash"]).materialize()
+        n = ds.count()
     idx = ray.data.range(n).map_batches(
         lambda b: {RID: b["id"].astype(np.int64)}, batch_format="numpy"
     )
     return ds.zip(idx).materialize()
 
 
-class CaptionBandStage:
-    """Actor-pool stage: MinHash signatures + band keys for captions.
-    Permutations and band params are actor state (built once)."""
-
-    def __init__(self, cfg: dict[str, Any]):
-        self.ngram = cfg["ngram"]
-        self.num_perm = cfg["num_perm"]
-        self.b, self.r = mh.optimal_param(cfg["lsh_threshold"], cfg["num_perm"])
-        self.skip_nulls = cfg["null_captions"] == "skip"
-        mh.permutations(self.num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        caps = batch["caption"].to_pylist()
-        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
-        if self.skip_nulls:
-            keep = [i for i, c in enumerate(caps) if c is not None and len(c) >= self.ngram]
-            caps = [caps[i] for i in keep]
-            rid = rid[keep]
-        if not len(rid):
-            return pa.table(
-                {RID: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-                 "key": pa.array([], pa.uint64())}
-            )
-        sigs = mh.batch_signatures(caps, self.ngram, self.num_perm, na_placeholder="na")
-        keys = mh.band_keys(sigs, self.b, self.r)
-        n = len(rid)
+def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
+    """MinHash signatures + band keys for captions. Runs as a task-pool
+    ``map_batches`` stage: the permutation matrix is lru-cached per worker
+    process (``mh.permutations``), giving actor-style setup amortization
+    with full task-slot parallelism and no pool ramp-up."""
+    ngram = cfg["ngram"]
+    num_perm = cfg["num_perm"]
+    b, r = mh.optimal_param(cfg["lsh_threshold"], num_perm)
+    caps = batch["caption"].to_pylist()
+    rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+    if cfg["null_captions"] == "skip":
+        keep = [i for i, c in enumerate(caps) if c is not None and len(c) >= ngram]
+        caps = [caps[i] for i in keep]
+        rid = rid[keep]
+    if not len(rid):
         return pa.table(
-            {
-                RID: np.repeat(rid, self.b),
-                "band": np.tile(np.arange(self.b, dtype=np.int32), n),
-                "key": keys.reshape(-1),
-            }
+            {RID: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+             "key": pa.array([], pa.uint64())}
         )
+    sigs = mh.batch_signatures(caps, ngram, num_perm, na_placeholder="na")
+    keys = mh.band_keys(sigs, b, r)
+    n = len(rid)
+    return pa.table(
+        {
+            RID: np.repeat(rid, b),
+            "band": np.tile(np.arange(b, dtype=np.int32), n),
+            "key": keys.reshape(-1),
+            # payload travels with the band rows so candidate pairs are
+            # verified inside the sorted blocks (no driver round-trip)
+            "caption": pa.array(np.repeat(np.array(caps, dtype=object), b)),
+        }
+    )
 
 
-def _bucket_pairs(cfg):
-    cap = cfg["bucket_pair_cap"]
+def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ngram, tmin, cluster_nulls):
+    """Exact byte-ngram Jaccard > tmin over candidate pair positions —
+    sorted rolling-hash arrays, cached per involved row."""
+    caps = batch["caption"].to_pylist()
+    grams: dict[int, np.ndarray] = {}
 
-    def pairs(group: pa.Table) -> pa.Table:
-        rid = np.unique(group[RID].to_numpy(zero_copy_only=False)).astype(np.int64)
-        k = len(rid)
-        if k < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        if k <= cap:
-            src = np.repeat(rid, k)
-            dst = np.tile(rid, k)
-            m = src < dst
-            return pa.table({"src": src[m], "dst": dst[m]})
-        # skew guard: linear star pairing for giant buckets
-        root = rid[0]
-        return pa.table({"src": np.full(k - 1, root, dtype=np.int64), "dst": rid[1:]})
+    def g_of(pos: int) -> np.ndarray:
+        g = grams.get(pos)
+        if g is None:
+            g = np.unique(sx.rolling_gram_hashes(caps[pos].encode("utf8"), ngram))
+            grams[pos] = g
+        return g
 
-    return pairs
+    mask = np.zeros(len(sp), dtype=bool)
+    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+        ca, cb = caps[a], caps[b]
+        if ca is None or cb is None:
+            mask[i] = ca is None and cb is None and cluster_nulls
+            continue
+        ga, gb = g_of(a), g_of(b)
+        if not len(ga) and not len(gb):
+            mask[i] = True
+            continue
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        union = len(ga) + len(gb) - inter
+        mask[i] = bool(union) and inter / union > tmin
+    return mask
 
 
-def _dedupe_pairs(edges_ds) -> ray.data.Dataset:
-    def canon(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        lo = np.minimum(src, dst)
-        hi = np.maximum(src, dst)
-        return pa.table({"src": lo, "dst": hi})
+def phash_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, maxh):
+    """Vectorized Hamming <= maxh over candidate pair positions."""
+    ph64 = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return _popcount64(np.bitwise_xor(ph64[sp], ph64[dp])) <= maxh
 
-    return edges_ds.map_batches(canon, batch_format="pyarrow")
+
+def substring_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, min_len):
+    """Shared >= min_len-byte substring via exact-length gram intersection."""
+    caps = batch["caption"].to_pylist()
+    grams: dict[int, np.ndarray] = {}
+
+    def g_of(pos: int) -> np.ndarray:
+        g = grams.get(pos)
+        if g is None:
+            g = np.unique(sx.rolling_gram_hashes(caps[pos].encode("utf8"), min_len))
+            grams[pos] = g
+        return g
+
+    mask = np.zeros(len(sp), dtype=bool)
+    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+        if caps[a] is None or caps[b] is None:
+            continue
+        mask[i] = bool(len(np.intersect1d(g_of(a), g_of(b), assume_unique=True)))
+    return mask
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
@@ -175,91 +214,71 @@ def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
     return {r[RID]: r["v"] for r in rows}
 
 
-def _shingle_set(text: str, ngram: int) -> set[str]:
-    return {text[i : i + ngram] for i in range(len(text) - ngram + 1)}
-
-
 def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
-    stage_kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": cfg["batch_size"]}
-    conc = cfg["concurrency"]
-    banded = ds.map_batches(
-        CaptionBandStage,
-        fn_constructor_args=(cfg,),
-        concurrency=conc if conc else (1, 8),
-        **stage_kwargs,
-    )
-    cand = (
-        banded.groupby(["band", "key"])
-        .map_groups(_bucket_pairs(cfg), batch_format="pyarrow")
-    )
-    cand_pairs = {(r["src"], r["dst"]) for r in _dedupe_pairs(cand).take_all()}
-    ckpt.record("caption_edges", candidates=len(cand_pairs))
-    if not cfg["caption_verify"] or not cand_pairs:
-        return list(cand_pairs)
+    import functools
 
-    rids = {r for p in cand_pairs for r in p}
-    caps = _broadcast_column(ds, rids, "caption")
-    ngram = cfg["ngram"]
-    tmin = cfg["verify_jaccard"]
-    shingles: dict[int, set[str]] = {}
-    out = []
-    for a, b in cand_pairs:
-        ca, cb = caps.get(a), caps.get(b)
-        if ca is None or cb is None:
-            if ca is None and cb is None and cfg["null_captions"] == "cluster":
-                out.append((a, b))
-            continue
-        sa = shingles.get(a)
-        if sa is None:
-            sa = shingles[a] = _shingle_set(ca, ngram)
-        sb = shingles.get(b)
-        if sb is None:
-            sb = shingles[b] = _shingle_set(cb, ngram)
-        if not sa and not sb:
-            out.append((a, b))
-            continue
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if union and inter / union > tmin:
-            out.append((a, b))
+    banded = ds.map_batches(
+        caption_band_stage,
+        fn_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg["batch_size"],
+    )
+    verify_fn = None
+    payload: list[str] = []
+    if cfg["caption_verify"]:
+        payload = ["caption"]
+        verify_fn = functools.partial(
+            caption_verify_kernel,
+            ngram=cfg["ngram"],
+            tmin=cfg["verify_jaccard"],
+            cluster_nulls=cfg["null_captions"] == "cluster",
+        )
+    edges = bucket_edges(
+        banded,
+        ["band", "key"],
+        RID,
+        pair_cap=cfg["bucket_pair_cap"],
+        payload_cols=payload,
+        verify_fn=verify_fn,
+    )
+    out = collect_edges(edges)
+    ckpt.record("caption_edges", verified_edges=len(out))
     return out
 
 
+def _image_band_stage(batch: pa.Table, *, bands: int) -> pa.Table:
+    phv = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    keys = ph.phash_band_keys(phv, bands)
+    rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(rid)
+    return pa.table(
+        {
+            RID: np.repeat(rid, bands),
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "key": keys.reshape(-1),
+            "phash": np.repeat(phv.view(np.int64), bands),
+        }
+    )
+
+
 def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
-    bands = cfg["phash_bands"]
+    import functools
 
-    def band_stage(batch: pa.Table) -> pa.Table:
-        phv = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        keys = ph.phash_band_keys(phv, bands)
-        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(rid)
-        return pa.table(
-            {
-                RID: np.repeat(rid, bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "key": keys.reshape(-1),
-            }
-        )
-
-    banded = ds.map_batches(band_stage, batch_format="pyarrow", batch_size=cfg["batch_size"])
-    cand = banded.groupby(["band", "key"]).map_groups(_bucket_pairs(cfg), batch_format="pyarrow")
-    cand_pairs = {(r["src"], r["dst"]) for r in _dedupe_pairs(cand).take_all()}
-    ckpt.record("image_edges", candidates=len(cand_pairs))
-    if not cand_pairs:
-        return []
-
-    rids = {r for p in cand_pairs for r in p}
-    hashes = _broadcast_column(ds, rids, "phash")
-    maxh = cfg["max_hamming"]
-    verified = []
-    mask64 = (1 << 64) - 1
-    for a, b in cand_pairs:
-        # phash is stored signed in parquet; recover the uint64 bit pattern
-        ha = int(hashes[a]) & mask64
-        hb = int(hashes[b]) & mask64
-        d = bin(ha ^ hb).count("1")
-        if d <= maxh:
-            verified.append((a, b))
+    banded = ds.map_batches(
+        _image_band_stage,
+        fn_kwargs={"bands": cfg["phash_bands"]},
+        batch_format="pyarrow",
+        batch_size=cfg["batch_size"],
+    )
+    edges = bucket_edges(
+        banded,
+        ["band", "key"],
+        RID,
+        pair_cap=cfg["bucket_pair_cap"],
+        payload_cols=["phash"],
+        verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
+    )
+    verified = collect_edges(edges)
     ckpt.record("image_edges", hamming_verified=len(verified))
 
     if not cfg["psnr_verify"] or not verified or source is None or not isinstance(source, str):
@@ -277,8 +296,10 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         mask = pa.array([i in want for i in ids])
         return batch.filter(mask)
 
+    from liken_ray.io.read import safe_read_parquet
+
     raw = (
-        ray.data.read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
+        safe_read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
         .map_batches(fetch, batch_format="pyarrow")
         .take_all()
     )
@@ -316,33 +337,13 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
         )
 
     fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=cfg["batch_size"])
-
-    def fp_pairs(group: pa.Table) -> pa.Table:
-        rid = np.unique(group[RID].to_numpy(zero_copy_only=False)).astype(np.int64)
-        k = len(rid)
-        if k < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        src = np.repeat(rid, k)
-        dst = np.tile(rid, k)
-        m = src < dst
-        return pa.table({"src": src[m], "dst": dst[m]})
-
-    cand = fp_ds.groupby("fp").map_groups(fp_pairs, batch_format="pyarrow")
-    cand_pairs = {(r["src"], r["dst"]) for r in _dedupe_pairs(cand).take_all()}
-    ckpt.record("substring_edges", candidates=len(cand_pairs))
-    if not cand_pairs:
-        return []
-
-    rids = {r for p in cand_pairs for r in p}
-    caps = _broadcast_column(ds, rids, "caption")
-    min_len = cfg["substring_min_len"]
-    out = []
-    for a, b in cand_pairs:
-        ca, cb = caps.get(a), caps.get(b)
-        if ca is None or cb is None:
-            continue
-        if sx.longest_common_substring_len(ca.encode("utf8"), cb.encode("utf8")) >= min_len:
-            out.append((a, b))
+    # a shared winnowing fingerprint IS a shared >= gram_len-byte substring
+    # (the fingerprint is the rolling hash of an actual L-gram present in
+    # both documents; collision risk ~2^-64 per gram pair — switch to a
+    # 128-bit gram hash beyond ~10^10 docs). Star edges, no payload carry.
+    edges = bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)
+    out = collect_edges(edges)
+    ckpt.record("substring_edges", substring_edges=len(out))
     return out
 
 
@@ -393,9 +394,18 @@ def run_flagship(
 
         return ckpt.stage(name, compute, inputs=["ingest"])
 
-    cap_edges = edges_stage("caption_edges", _caption_edges, ds, cfg, ckpt)
-    img_edges = edges_stage("image_edges", _image_edges, ds, cfg, ckpt, source)
-    sub_edges = edges_stage("substring_edges", _substring_edges, ds, cfg, ckpt)
+    # the three modality stages are independent Ray jobs — run them from
+    # threads so their driver-side barriers (sort coordination, take_all)
+    # overlap instead of serializing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cap = pool.submit(edges_stage, "caption_edges", _caption_edges, ds, cfg, ckpt)
+        f_img = pool.submit(edges_stage, "image_edges", _image_edges, ds, cfg, ckpt, source)
+        f_sub = pool.submit(edges_stage, "substring_edges", _substring_edges, ds, cfg, ckpt)
+        cap_edges = f_cap.result()
+        img_edges = f_img.result()
+        sub_edges = f_sub.result()
 
     all_edges = cap_edges.union(img_edges).union(sub_edges).materialize()
     n_edges = all_edges.count()

@@ -234,6 +234,23 @@ def _ann_topk_embeddings_ivf(sf_dir: str):
     return topk_cosine_ivf(ds, queries, qids, k=10)
 
 
+def _tumbling_window_events(sf_dir: str):
+    from liken_ray.extras.windows import tumbling_window_counts
+
+    return tumbling_window_counts(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        window_s=3600,
+        value_col=None,
+        key_col="event_type",
+    )
+
+
+def _sessionize_events(sf_dir: str):
+    from liken_ray.extras.windows import sessionize
+
+    return sessionize(_read(sf_dir, "events", columns=["ts", "user_id"]), gap_s=1800)
+
+
 def _events_by_type(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -274,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dedup": _embedding_cosine_dedup,
         "ann_topk_embeddings": _ann_topk_embeddings,
         "ann_topk_embeddings_ivf": _ann_topk_embeddings_ivf,
+        "tumbling_window_events": _tumbling_window_events,
+        "sessionize_events": _sessionize_events,
         "events_by_type": _events_by_type,
         "orders_per_customer": _orders_per_customer,
     }
@@ -335,6 +354,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id FROM s "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY sim DESC, neighbor_id ASC) <= 10"
+        ),
+        "tumbling_window_events": (
+            "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
+            "AS window_start, event_type, COUNT(*) AS cnt "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize_events": (
+            "WITH o AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE THEN 1 "
+            "ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
         ),
         "events_by_type": (
             "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type"

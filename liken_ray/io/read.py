@@ -21,3 +21,24 @@ def safe_read_parquet(path, **kwargs):
 
     with _read_lock:
         return ray.data.read_parquet(path, **kwargs)
+
+
+def read_pairs(path: str, columns=None):
+    """Read the image+caption pairs table (BASELINE input_hint).
+
+    The production format is Lance (``ray.data.read_lance``); this sandbox
+    has no ``lance`` package, so `.lance` datasets require it while plain
+    directories/files fall back to Parquet with the identical schema.
+    """
+    if path.rstrip("/").endswith(".lance"):
+        import ray.data
+
+        try:
+            with _read_lock:
+                return ray.data.read_lance(path, columns=columns)
+        except ImportError as exc:  # pragma: no cover - lance absent offline
+            raise ImportError(
+                "reading .lance datasets requires the `lance` package; "
+                "convert to parquet or install pylance"
+            ) from exc
+    return safe_read_parquet(path, columns=columns)

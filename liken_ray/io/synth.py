@@ -204,24 +204,66 @@ def generate_pairs_table(
     return pairs, truth
 
 
+def _generate_shard(args) -> tuple[str, str]:
+    out_dir, s, rows, seed, base_row, base_cluster, kwargs = args
+    pairs, truth = generate_pairs_table(rows, seed=seed, **kwargs)
+    # offset ids so shards compose into one coherent table
+    ids = [f"img{base_row + i:010d}" for i in range(pairs.num_rows)]
+    pairs = pairs.set_column(0, "image_id", pa.array(ids, pa.string()))
+    truth = truth.set_column(0, "image_id", pa.array(ids, pa.string()))
+    shifted = pa.array(
+        [c + base_cluster for c in truth["true_cluster_id"].to_pylist()], pa.int64()
+    )
+    truth = truth.set_column(1, "true_cluster_id", shifted)
+    data_dir = os.path.join(out_dir, "pairs")
+    ppath = os.path.join(data_dir, f"part-{s:05d}.parquet")
+    tpath = os.path.join(out_dir, f"truth-{s:05d}.parquet")
+    pq.write_table(pairs, ppath)
+    pq.write_table(truth, tpath)
+    return ppath, tpath
+
+
 def write_pairs_dataset(
     out_dir: str,
     n_rows: int,
     seed: int = 42,
     shards: int = 4,
+    parallel: bool = True,
     **kwargs,
 ) -> dict[str, str]:
     """Write the pairs table as ``shards`` parquet files (one per shard —
-    resumable, partition-aligned input) plus truth.parquet."""
+    resumable, partition-aligned input) plus truth.parquet.
+
+    Shards are generated independently (seed+shard, disjoint id/cluster
+    ranges — planted clusters never span shards) so generation
+    parallelizes across processes; still fully deterministic for a given
+    (n_rows, seed, shards).
+    """
     os.makedirs(out_dir, exist_ok=True)
-    pairs, truth = generate_pairs_table(n_rows, seed=seed, **kwargs)
-    per = (pairs.num_rows + shards - 1) // shards
     data_dir = os.path.join(out_dir, "pairs")
     os.makedirs(data_dir, exist_ok=True)
+    per = (n_rows + shards - 1) // shards
+    jobs = []
+    base = 0
     for s in range(shards):
-        chunk = pairs.slice(s * per, per)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(data_dir, f"part-{s:05d}.parquet"))
+        rows = min(per, n_rows - base)
+        if rows <= 0:
+            break
+        jobs.append((out_dir, s, rows, seed + s, base, base, kwargs))
+        base += rows
+
+    if parallel and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(len(jobs), max(2, (os.cpu_count() or 4) // 2))
+        with ProcessPoolExecutor(workers) as ex:
+            results = list(ex.map(_generate_shard, jobs))
+    else:
+        results = [_generate_shard(j) for j in jobs]
+
+    truth_tables = [pq.read_table(t) for _, t in results]
     truth_path = os.path.join(out_dir, "truth.parquet")
-    pq.write_table(truth, truth_path)
+    pq.write_table(pa.concat_tables(truth_tables), truth_path)
+    for _, t in results:
+        os.remove(t)
     return {"pairs": data_dir, "truth": truth_path}

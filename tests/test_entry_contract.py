@@ -50,6 +50,8 @@ def test_entry_runs(ray_session):
         "token_count_documents",
         "quality_documents",
         "ann_topk_embeddings",
+        "tumbling_window_events",
+        "sessionize_events",
         "events_by_type",
     ],
 )

@@ -98,3 +98,16 @@ def test_flagship_config_change_invalidates_checkpoints(ray_session, synth_dir, 
         os.path.join(synth_dir, "pairs"), {"max_hamming": 4}, run_dir=run_dir
     )
     assert r2["metrics"]["stages"]["image_edges"].get("resumed") is not True
+
+
+def test_flagship_distributed_components(ray_session, synth_dir):
+    """Force the distributed label-propagation path (edge_uf_limit=0) and
+    check assignments match the driver union-find path."""
+    import os
+
+    src = os.path.join(synth_dir, "pairs")
+    a = run_flagship(src)["assignments"].take_all()
+    b = run_flagship(src, {"edge_uf_limit": 0})["assignments"].take_all()
+    am = {r["image_id"]: r["cluster_id"] for r in a}
+    bm = {r["image_id"]: r["cluster_id"] for r in b}
+    assert am == bm

@@ -180,15 +180,30 @@ def bucket_edges(
     )
 
     # the scan output is already compact (verified edges + O(blocks)
-    # boundary summaries) — ONE execution, one driver pull
-    rows = scanned.take_all()
-    edge_list: list[tuple[int, int]] = []
+    # boundary summaries) — ONE execution, one driver pull (numpy batches,
+    # not per-row dicts)
+    edge_srcs: list[np.ndarray] = []
+    edge_dsts: list[np.ndarray] = []
     summaries: list[dict] = []
-    for r in rows:
-        if r["keyh"] == 0:
-            edge_list.append((r["src"], r["dst"]))
-        else:
-            summaries.append(r)
+    for batch in scanned.iter_batches(batch_format="pyarrow", batch_size=None):
+        if batch.num_rows == 0:
+            continue
+        keyh = batch["keyh"].to_numpy(zero_copy_only=False)
+        is_edge = keyh == 0
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        edge_srcs.append(src[is_edge])
+        edge_dsts.append(dst[is_edge])
+        if not is_edge.all():
+            summaries.extend(batch.filter(pa.array(~is_edge)).to_pylist())
+    if edge_srcs:
+        all_src = np.concatenate(edge_srcs)
+        all_dst = np.concatenate(edge_dsts)
+        lo = np.minimum(all_src, all_dst)
+        hi = np.maximum(all_src, all_dst)
+        edge_list = list(zip(lo.tolist(), hi.tolist()))
+    else:
+        edge_list = []
 
     extra_src: list[int] = []
     extra_dst: list[int] = []

@@ -71,6 +71,12 @@ def empty_signature(num_perm: int) -> np.ndarray:
     return np.full(num_perm, _MAX_HASH, dtype=np.uint64)
 
 
+# process-global token-hash cache: shingle vocabularies repeat heavily
+# across batches within a worker; bounded to keep worker heap sane
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 4_000_000
+
+
 def signature_from_token_hashes(
     token_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
@@ -115,7 +121,7 @@ def batch_signatures(
     n = len(texts)
     out = np.empty((n, num_perm), dtype=np.uint64)
 
-    cache: dict[str, int] = {}
+    cache = _TOKEN_HASH_CACHE
 
     def flush(rows: list[int], hash_lists: list[np.ndarray]) -> None:
         if not rows:
@@ -163,6 +169,8 @@ def batch_signatures(
             flush(pend_rows, pend_hashes)
             pend_rows, pend_hashes, pend_tokens = [], [], 0
     flush(pend_rows, pend_hashes)
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
     return out
 
 

@@ -422,18 +422,27 @@ def run_flagship(
         labels = {r["node"]: r["label"] for r in labels_ds.take_all()}
     ckpt.record("components", wall_s=round(time.perf_counter() - t0, 3), labeled=len(labels))
 
-    # rep image ids for user-facing cluster labels
+    # rep image ids for user-facing cluster labels; the relabel map is
+    # broadcast as sorted parallel arrays and applied via searchsorted
+    # (vectorized — no per-row dict lookups in the hot path)
     reps = set(labels.values())
     rep_ids = _broadcast_column(ds, reps, "image_id")
-    lab_ref = ray.put(labels)
+    lab_keys = np.array(sorted(labels), dtype=np.int64)
+    lab_vals = np.array([labels[k] for k in lab_keys], dtype=np.int64)
+    lab_ref = ray.put((lab_keys, lab_vals))
     rep_ref = ray.put(rep_ids)
 
     def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(lab_ref)
+        keys, vals = ray.get(lab_ref)
         rep = ray.get(rep_ref)
-        rid = batch[RID].to_numpy(zero_copy_only=False)
+        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch["image_id"].to_pylist()
-        cluster = np.array([lab.get(int(r), int(r)) for r in rid], dtype=np.int64)
+        cluster = rid.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, rid)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == rid
+            cluster[hit] = vals[pos_c[hit]]
         cluster_img = [rep.get(int(c), i) for c, i in zip(cluster, ids)]
         return pa.table(
             {

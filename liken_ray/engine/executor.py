@@ -110,7 +110,9 @@ def _prep_single(batch: pa.Table, column: str, with_na: bool, preprocessors) -> 
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if with_na and pa.types.is_string(col.type) or (with_na and pa.types.is_large_string(col.type)):
+    if with_na and pa.types.is_null(col.type):  # all-null column
+        col = col.cast(pa.string())
+    if with_na and (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
         col = pc.coalesce(col, NA_PLACEHOLDER)
     if preprocessors:
         col = apply_preprocessors(col, preprocessors)

@@ -64,6 +64,8 @@ class LocalFrame:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             if with_na:
+                if pa.types.is_null(col.type):  # all-null column
+                    col = col.cast(pa.string())
                 return pc.coalesce(col, NA_PLACEHOLDER)
             return col
         return self.table.select(list(columns))

@@ -80,7 +80,7 @@ def run_bench(num_cpus: int, sf_dir: str, pairs_rows: int) -> dict:
 
     flagship = timed(
         "flagship_pairs",
-        lambda: run_flagship(pairs_path, {"concurrency": (1, max(2, num_cpus // 2))}),
+        lambda: run_flagship(pairs_path),
     )
 
     # secondary: document + embedding pipelines on the driver testdata

@@ -15,10 +15,9 @@ into one connected-components pass):
 Scale notes (designed for 10^12 rows / multi-node, tested single-node):
 - the read prunes to (image_id, caption, phash) — image ``bytes`` never
   enter a shuffle; PSNR verification re-reads only candidate rows;
-- band stages shuffle ~24-byte rows (rid, band, key); captions/bytes are
-  joined back only for candidate pairs (broadcast when the candidate set is
-  small — the common case; the ``broadcast_limit`` config documents the
-  cutoff where a shuffle join should replace it);
+- band stages shuffle compact rows (rid, band, key, verify payload);
+  candidate pairs are verified inside the sorted blocks, so only verified
+  edges leave the workers;
 - buckets above ``bucket_pair_cap`` fall back to linear star pairing (skew
   guard: a degenerate constant-key bucket costs O(k), not O(k²));
 - components: driver union-find below ``edge_uf_limit`` edges, distributed
@@ -70,8 +69,6 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # execution
     "bucket_pair_cap": 64,
     "edge_uf_limit": 5_000_000,
-    "broadcast_limit": 20_000_000,
-    "concurrency": None,  # actor-pool size for the signature stage
     "batch_size": 4096,
 }
 
@@ -107,26 +104,35 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
     b, r = mh.optimal_param(cfg["lsh_threshold"], num_perm)
     caps = batch["caption"].to_pylist()
     rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.arange(len(caps), dtype=np.int64)
     if cfg["null_captions"] == "skip":
-        keep = [i for i, c in enumerate(caps) if c is not None and len(c) >= ngram]
+        keep = np.array(
+            [i for i, c in enumerate(caps) if c is not None and len(c) >= ngram],
+            dtype=np.int64,
+        )
         caps = [caps[i] for i in keep]
         rid = rid[keep]
     if not len(rid):
         return pa.table(
             {RID: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-             "key": pa.array([], pa.uint64())}
+             "key": pa.array([], pa.uint64()),
+             "caption": pa.array([], batch.schema.field("caption").type)}
         )
     sigs = mh.batch_signatures(caps, ngram, num_perm, na_placeholder="na")
     keys = mh.band_keys(sigs, b, r)
     n = len(rid)
+    cap_col = batch["caption"]
+    if isinstance(cap_col, pa.ChunkedArray):
+        cap_col = cap_col.combine_chunks()
     return pa.table(
         {
             RID: np.repeat(rid, b),
             "band": np.tile(np.arange(b, dtype=np.int32), n),
             "key": keys.reshape(-1),
             # payload travels with the band rows so candidate pairs are
-            # verified inside the sorted blocks (no driver round-trip)
-            "caption": pa.array(np.repeat(np.array(caps, dtype=object), b)),
+            # verified inside the sorted blocks (no driver round-trip);
+            # arrow-native take — no python-object string churn
+            "caption": cap_col.take(pa.array(np.repeat(keep, b), pa.int64())),
         }
     )
 
@@ -164,26 +170,6 @@ def phash_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, maxh
     """Vectorized Hamming <= maxh over candidate pair positions."""
     ph64 = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     return _popcount64(np.bitwise_xor(ph64[sp], ph64[dp])) <= maxh
-
-
-def substring_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, min_len):
-    """Shared >= min_len-byte substring via exact-length gram intersection."""
-    caps = batch["caption"].to_pylist()
-    grams: dict[int, np.ndarray] = {}
-
-    def g_of(pos: int) -> np.ndarray:
-        g = grams.get(pos)
-        if g is None:
-            g = np.unique(sx.rolling_gram_hashes(caps[pos].encode("utf8"), min_len))
-            grams[pos] = g
-        return g
-
-    mask = np.zeros(len(sp), dtype=bool)
-    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
-        if caps[a] is None or caps[b] is None:
-            continue
-        mask[i] = bool(len(np.intersect1d(g_of(a), g_of(b), assume_unique=True)))
-    return mask
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

@@ -77,32 +77,42 @@ def duplicate_substring_pairs(
     owner = np.concatenate(doc_of)
 
     sa = suffix_array(data)
+    n = len(data)
+    # adjacent suffixes in SA order with LCP >= min_len and different
+    # owners. Because LCP of non-adjacent suffixes is the min over the
+    # interval, cross-doc repeats >= min_len always produce a run of
+    # adjacent suffixes sharing the min_len-prefix. Prefix equality is
+    # tested with O(n) per-document rolling hashes of the min_len-gram at
+    # each offset (w.h.p. exact; ~2^-64 per adjacent pair) — positions
+    # whose suffix is shorter than min_len, and separator positions, get a
+    # unique sentinel so they never match.
+    grams_global = np.empty(n, dtype=np.uint64)
+    # unique never-matching sentinels: high bit + global position
+    grams_global[:] = np.arange(n, dtype=np.uint64) | np.uint64(1 << 63)
+    pos = 0
+    for d in docs:
+        g = rolling_gram_hashes(d, min_len)
+        # clear the high bit so real grams never collide with sentinels
+        grams_global[pos : pos + len(g)] = g & ~np.uint64(1 << 63)
+        pos += len(d) + 1  # +1 for the separator
+    g_sorted = grams_global[sa]
+    eq = g_sorted[1:] == g_sorted[:-1]
+
     pairs: set[tuple[int, int]] = set()
-    # adjacent suffixes in SA order with LCP >= min_len and different owners.
-    # Because LCP of non-adjacent suffixes is the min over the interval,
-    # cross-doc repeats >= min_len always produce at least one adjacent
-    # cross-owner pair within the run of suffixes sharing the prefix — we
-    # scan runs: while adjacent LCP >= min_len, collect owners of the run.
-    run_owners: set[int] = set()
-    prev = sa[0]
-    for idx in range(1, len(sa)):
-        cur = sa[idx]
-        if _lcp_at_least(data, int(prev), int(cur), min_len):
-            run_owners.add(int(owner[prev]))
-            run_owners.add(int(owner[cur]))
-        else:
-            if len(run_owners) > 1:
-                ordered = sorted(run_owners)
-                root = ordered[0]
-                for other in ordered[1:]:
-                    pairs.add((root, other))
-            run_owners = set()
-        prev = cur
-    if len(run_owners) > 1:
-        ordered = sorted(run_owners)
-        root = ordered[0]
-        for other in ordered[1:]:
-            pairs.add((root, other))
+    if not eq.any():
+        return pairs
+    # cross-owner ADJACENCIES within eq runs are enough: any run containing
+    # k distinct owners yields adjacent cross-owner links that connect all
+    # of them transitively (downstream union-find closes the components)
+    o_prev = owner[sa[:-1]]
+    o_next = owner[sa[1:]]
+    cross = eq & (o_prev != o_next)
+    if cross.any():
+        a = o_prev[cross]
+        b = o_next[cross]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pairs.update(zip(lo.tolist(), hi.tolist()))
     return pairs
 
 

@@ -327,8 +327,33 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     # (the fingerprint is the rolling hash of an actual L-gram present in
     # both documents; collision risk ~2^-64 per gram pair — switch to a
     # 128-bit gram hash beyond ~10^10 docs). Star edges, no payload carry.
-    edges = bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)
-    out = collect_edges(edges)
+    # Winnowing guarantees recall for shared runs >= gram_len + window - 1
+    # bytes — including ACROSS partitions.
+    edges = set(collect_edges(bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)))
+
+    # per-partition suffix-array pass (Lee et al. 2021-style): exact
+    # duplicate-substring detection at the tighter ``substring_min_len``
+    # within each partition; the winnowing stage above is the
+    # cross-partition blocking for this stage
+    sub_min = cfg["substring_min_len"]
+
+    def sa_block(batch: pa.Table) -> pa.Table:
+        caps = batch["caption"].to_pylist()
+        rid = batch[RID].to_numpy(zero_copy_only=False)
+        docs = [(int(r), c) for r, c in zip(rid, caps) if c is not None and len(c) >= min_cap]
+        if len(docs) < 2:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        pairs = sx.duplicate_substring_pairs([c.encode("utf8") for _, c in docs], sub_min)
+        return pa.table(
+            {
+                "src": pa.array([docs[i][0] for i, _ in pairs], pa.int64()),
+                "dst": pa.array([docs[j][0] for _, j in pairs], pa.int64()),
+            }
+        )
+
+    sa_edges = ds.map_batches(sa_block, batch_format="pyarrow", batch_size=None)
+    edges.update(collect_edges(sa_edges))
+    out = [(min(a, b), max(a, b)) for a, b in edges]
     ckpt.record("substring_edges", substring_edges=len(out))
     return out
 

@@ -106,13 +106,33 @@ class KeyedUnionFind:
 
 
 def connected_components_edges_numpy(src: np.ndarray, dst: np.ndarray) -> dict[int, int]:
-    """Vectorized-ish DSU over numpy edge arrays → {node: min-member label}.
-    Used by the driver-side path after collecting the (small) edge dataset.
+    """Fully vectorized connected components over numpy edge arrays →
+    {node: min-member label}. Pointer-jumping min-label propagation:
+    O((E+V) · log diameter) numpy ops, no per-edge Python.
     """
-    uf = KeyedUnionFind()
-    for a, b in zip(src.tolist(), dst.tolist()):
-        uf.union(a, b)
-    return uf.labels()
+    if len(src) == 0:
+        return {}
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    e_src = inv[: len(src)]
+    e_dst = inv[len(src) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label
+        # propagate the smaller endpoint label across each edge, both ways
+        label = label.copy()
+        np.minimum.at(label, e_src, prev[e_dst])
+        np.minimum.at(label, e_dst, prev[e_src])
+        # pointer jumping: label <- label[label] until stable
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, prev):
+            break
+    # final compress: labels are indices into nodes; map to min member id
+    while True:
+        nxt = label[label]
+        if np.array_equal(nxt, label):
+            break
+        label = nxt
+    return dict(zip(nodes.tolist(), nodes[label].tolist()))
 
 
 def connected_components_distributed(edges_ds, max_rounds: int = 50):

@@ -424,10 +424,19 @@ def run_flagship(
 
     t0 = time.perf_counter()
     if n_edges <= cfg["edge_uf_limit"]:
-        uf = KeyedUnionFind()
-        for r in all_edges.take_all():
-            uf.union(r["src"], r["dst"])
-        labels = uf.labels()  # rid -> min-member rid
+        from liken_ray.engine.components import connected_components_edges_numpy
+
+        srcs, dsts = [], []
+        for batch in all_edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            if batch.num_rows:
+                srcs.append(batch["src"].to_numpy(zero_copy_only=False))
+                dsts.append(batch["dst"].to_numpy(zero_copy_only=False))
+        if srcs:
+            labels = connected_components_edges_numpy(
+                np.concatenate(srcs), np.concatenate(dsts)
+            )
+        else:
+            labels = {}
     else:
         labels_ds = connected_components_distributed(all_edges)
         labels = {r["node"]: r["label"] for r in labels_ds.take_all()}

@@ -67,3 +67,14 @@ def test_distributed_label_propagation_matches_networkx(ray_session, seed):
     labels_ds = connected_components_distributed(edges_ds)
     got = {r["node"]: r["label"] for r in labels_ds.take_all()}
     assert got == _nx_labels(edges)
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_numpy_components_match_networkx(seed):
+    from liken_ray.engine.components import connected_components_edges_numpy
+
+    rng = np.random.default_rng(seed)
+    edges = _random_edges(rng, 300, 450)
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    assert connected_components_edges_numpy(src, dst) == _nx_labels(edges)

@@ -44,18 +44,22 @@ def entry() -> Any:
     from liken_ray.extras import dedup_text, text as tx
 
     ds = _docs(sf_dir)
-    labels = dedup_text.minhash_dedup(ds, threshold=0.8)
     metrics = ds.map_batches(tx.quality_metrics, batch_format="pyarrow")
-    lab = {r["doc_id"]: r["canonical_id"] for r in labels.take_all()}
+    # dup-sized label map from the LSH edges (never a full-table pull):
+    # broadcast once as sorted parallel arrays, applied per batch via
+    # searchsorted — no per-row dict lookups
+    lab = dedup_text.minhash_labels(ds, threshold=0.8)
 
     import ray
 
-    ref = ray.put(lab)
+    from liken_ray.engine.components import apply_label_arrays, label_arrays
+
+    ref = ray.put(label_arrays(lab))
 
     def join(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        canon = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        keys, vals = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = apply_label_arrays(ids, keys, vals)
         return batch.append_column("canonical_id", pa.array(canon))
 
     return metrics.map_batches(join, batch_format="pyarrow")
@@ -73,11 +77,34 @@ def _exact_dedup_documents(sf_dir: str):
 
 
 def _drop_duplicates_documents(sf_dir: str):
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        return group.take(pa.array([int(np.argmin(ids))]))
+    """Keep the min-doc_id row per text: a Min aggregate (one shuffle of
+    (text, doc_id) pairs — no per-group Python) + broadcast semi-join on the
+    keeper ids. The driver-side object is the keeper-id array (distinct
+    texts), not the table; at cluster scale swap the broadcast for a
+    hash-partitioned semi-join on the same aggregate output."""
+    import ray
+    from ray.data.aggregate import Min
 
-    return _docs(sf_dir).groupby("text").map_groups(keep_first, batch_format="pyarrow")
+    ds = _docs(sf_dir)
+    keep_rows = (
+        ds.select_columns(["text", "doc_id"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+        .select_columns(["keep_id"])
+        .take_all()
+    )
+    keep_ids = np.sort(np.array([r["keep_id"] for r in keep_rows], dtype=np.int64))
+    ref = ray.put(keep_ids)
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keep, ids)
+        pos_c = np.clip(pos, 0, max(0, len(keep) - 1))
+        mask = len(keep) > 0 and keep[pos_c] == ids
+        return batch.filter(pa.array(mask if isinstance(mask, np.ndarray) else np.zeros(len(ids), bool)))
+
+    return ds.map_batches(semi_join, batch_format="pyarrow")
 
 
 def _canonicals_documents(sf_dir: str):
@@ -141,6 +168,69 @@ def _str_startswith_documents(sf_dir: str):
     import liken_ray as lk
 
     return _predicate_query(sf_dir, lk.str_startswith(pattern="the "))
+
+
+def _str_endswith_documents(sf_dir: str):
+    import liken_ray as lk
+
+    return _predicate_query(sf_dir, lk.str_endswith(pattern="ing"))
+
+
+def _isna_documents(sf_dir: str):
+    import liken_ray as lk
+
+    return _predicate_query(sf_dir, lk.isna())
+
+
+def _notna_documents(sf_dir: str):
+    """Dense predicate (~isna matches every non-null row) — exercises the
+    distributed predicate-cluster path: no matched-id collection, just a
+    min-rid aggregate + broadcast-mask relabel."""
+    import liken_ray as lk
+
+    return _predicate_query(sf_dir, ~lk.isna())
+
+
+def _isin_documents(sf_dir: str):
+    import liken_ray as lk
+
+    ds = _docs(sf_dir)
+    out = (
+        lk.dedupe(ds)
+        .apply({"lang": lk.isin(values=["de", "fr"])})
+        .canonicalize(id="doc_id")
+        .collect()
+    )
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
+def _canonicals_n2_documents(sf_dir: str):
+    """Cluster sizes with the reference's n>=2 default (real duplicate
+    groups only; clustered on ``lang`` — the documents table has no exact
+    text dups at any SF, and an always-empty oracle would prove nothing).
+    The filter runs distributed; concatenating onto a typed empty table
+    keeps the schema stable even when no group reaches n."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        _docs(sf_dir)
+        .groupby("lang")
+        .aggregate(Min("doc_id", alias_name="canonical_id"), Count(alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], 2)).select(
+                ["canonical_id", "cnt"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    empty = pa.table(
+        {"canonical_id": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+    parts = [empty] + [
+        b for b in agg.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    return pa.concat_tables(parts, promote_options="default")
 
 
 def _token_count_documents(sf_dir: str):
@@ -280,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "str_contains_documents": _str_contains_documents,
         "str_len_documents": _str_len_documents,
         "str_startswith_documents": _str_startswith_documents,
+        "str_endswith_documents": _str_endswith_documents,
+        "isna_documents": _isna_documents,
+        "notna_documents": _notna_documents,
+        "isin_documents": _isin_documents,
+        "canonicals_n2_documents": _canonicals_n2_documents,
         "token_count_documents": _token_count_documents,
         "quality_documents": _quality_documents,
         "lang_id_documents": _lang_id_documents,
@@ -331,6 +426,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN text LIKE 'the %' THEN "
             "(SELECT MIN(doc_id) FROM documents WHERE text LIKE 'the %') "
             "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "str_endswith_documents": (
+            "SELECT doc_id, CASE WHEN text LIKE '%ing' THEN "
+            "(SELECT MIN(doc_id) FROM documents WHERE text LIKE '%ing') "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "isna_documents": (
+            "SELECT doc_id, CASE WHEN text IS NULL THEN "
+            "COALESCE((SELECT MIN(doc_id) FROM documents WHERE text IS NULL), doc_id) "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "notna_documents": (
+            "SELECT doc_id, CASE WHEN text IS NOT NULL THEN "
+            "(SELECT MIN(doc_id) FROM documents WHERE text IS NOT NULL) "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "isin_documents": (
+            "SELECT doc_id, CASE WHEN lang IN ('de', 'fr') THEN "
+            "(SELECT MIN(doc_id) FROM documents WHERE lang IN ('de', 'fr')) "
+            "ELSE doc_id END AS canonical_id FROM documents"
+        ),
+        "canonicals_n2_documents": (
+            "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS cnt FROM documents "
+            "GROUP BY lang HAVING COUNT(*) >= 2"
         ),
         "token_count_documents": (
             "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "

@@ -56,6 +56,17 @@ def _to_arrow(df: Any) -> tuple[pa.Table, str]:
             return df.to_arrow(), "polars"
     except ImportError:  # pragma: no cover
         pass
+    mod = type(df).__module__
+    if mod.partition(".")[0] in ("dask", "dask_expr", "modin", "pyspark"):
+        # the reference's dask/modin/pyspark backends are not carried over:
+        # this engine distributes through Ray Datasets. Fail loudly with the
+        # migration path instead of treating the frame as an invalid type.
+        raise TypeError(
+            f"{type(df).__module__}.{type(df).__name__} is not supported: "
+            "liken_ray replaces the reference's dask/modin/pyspark backends "
+            "with ray.data. Convert with ray.data.from_pandas / from_arrow / "
+            "read_parquet and pass the Dataset."
+        )
     raise TypeError(
         f"Invalid arg: df must be a pandas/polars DataFrame, pyarrow Table or "
         f"ray.data.Dataset, got {type(df).__name__}"

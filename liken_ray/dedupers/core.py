@@ -250,9 +250,17 @@ class TfIdf(ThresholdDeduper):
     """Char n-gram TF-IDF top-n cosine pairs (reference
     ``dedupers/tfidf.py:52-88``). Global IDF semantics: valid on a whole
     table; approximate when run per-bucket (documented).
+
+    Vectorizer kwargs: the reference forwards arbitrary sklearn
+    ``TfidfVectorizer`` kwargs. This engine implements the common ones
+    (``lowercase``, ``min_df``, ``max_df``) with sklearn's documented
+    semantics and REJECTS anything else — silently ignoring a kwarg like
+    ``sublinear_tf`` would return different clusters than the user asked
+    for.
     """
 
     name = "tfidf"
+    _SUPPORTED_KWARGS = ("lowercase", "min_df", "max_df")
 
     def __init__(
         self,
@@ -261,13 +269,22 @@ class TfIdf(ThresholdDeduper):
         topn: int = 2,
         **kwargs: Any,
     ):
+        unsupported = sorted(set(kwargs) - set(self._SUPPORTED_KWARGS))
+        if unsupported:
+            raise ValueError(
+                f"tfidf: unsupported vectorizer kwarg(s) {unsupported}; "
+                f"this engine implements {list(self._SUPPORTED_KWARGS)}"
+            )
         super().__init__(threshold=threshold, ngram=ngram, topn=topn, **kwargs)
         self.ngram = ngram
         self.topn = topn
+        self.vectorizer_kwargs = kwargs
 
     def pairs(self, data: pa.Array) -> list[Pair]:
         values = data.to_pylist()
-        return tfidf_kernel.topn_similarity_pairs(values, self.ngram, self.threshold, self.topn)
+        return tfidf_kernel.topn_similarity_pairs(
+            values, self.ngram, self.threshold, self.topn, **self.vectorizer_kwargs
+        )
 
 
 @_register("tfidf")

@@ -37,7 +37,9 @@ _SUMMARY_CAP = 64  # max boundary rows carried per block edge
 def _key_hash(values: tuple) -> int:
     h = hashlib.blake2b(repr(values).encode("utf8"), digest_size=8).digest()
     v = int.from_bytes(h, "little")
-    return v or 1  # 0 is the "not a summary" marker
+    # 0 marks a verified edge row, 1 a borderline-pair row — keep key
+    # hashes out of both sentinels
+    return v if v >= 2 else v + 2
 
 
 def _run_boundaries(keys: list[np.ndarray], n: int) -> np.ndarray:
@@ -48,9 +50,16 @@ def _run_boundaries(keys: list[np.ndarray], n: int) -> np.ndarray:
     return change
 
 
-def _emit_pairs(sr: np.ndarray, starts, lens, cap: int):
+def _emit_pairs(sr: np.ndarray, starts, lens, cap: int, chain: bool = False):
     """Candidate pair positions for runs (vectorized star; python only over
-    runs with >=2 members for capped all-pairs)."""
+    runs with >=2 members for capped all-pairs).
+
+    ``chain=True`` (set when a verify kernel will filter the pairs) adds
+    consecutive (i, i+1) pairs to the star for over-cap runs: star edges
+    alone make component connectivity depend on the anchor row verifying,
+    so a genuine pair (B, C) in an oversized bucket would be lost whenever
+    the anchor A fails verification against both. Star+chain keeps recall
+    for locally-similar runs at the same O(k) cost."""
     src_parts, dst_parts = [], []
     if cap <= 1:
         change = np.zeros(len(sr), dtype=bool)
@@ -71,6 +80,9 @@ def _emit_pairs(sr: np.ndarray, starts, lens, cap: int):
             else:
                 src_parts.append(np.full(ln - 1, s, dtype=np.int64))
                 dst_parts.append(np.arange(s + 1, s + ln, dtype=np.int64))
+                if chain:
+                    src_parts.append(np.arange(s + 1, s + ln - 1, dtype=np.int64))
+                    dst_parts.append(np.arange(s + 2, s + ln, dtype=np.int64))
     if not src_parts:
         z = np.empty(0, dtype=np.int64)
         return z, z
@@ -121,20 +133,36 @@ def _scan_block(
     starts = np.flatnonzero(change)
     lens = np.diff(np.append(starts, n))
 
-    src_pos, dst_pos = _emit_pairs(rid, starts, lens, cap)
+    src_pos, dst_pos = _emit_pairs(rid, starts, lens, cap, chain=verify_fn is not None)
+    bl_src = bl_dst = np.empty(0, dtype=np.int64)
     if verify_fn is not None and len(src_pos):
-        mask = verify_fn(batch, src_pos, dst_pos)
+        res = verify_fn(batch, src_pos, dst_pos)
+        if isinstance(res, tuple):
+            # (accept, borderline): borderline pairs travel to the driver
+            # tagged keyh=1 for an exact confirmation pass the caller runs
+            mask, borderline = res
+            bl_src, bl_dst = rid[src_pos[borderline]], rid[dst_pos[borderline]]
+        else:
+            mask = res
         src_pos, dst_pos = src_pos[mask], dst_pos[mask]
 
     edges = build(rid[src_pos], rid[dst_pos], np.zeros(len(src_pos), dtype=np.uint64))
+    if len(bl_src):
+        edges = pa.concat_tables(
+            [edges, build(bl_src, bl_dst, np.ones(len(bl_src), dtype=np.uint64))],
+            promote_options="default",
+        )
 
     # boundary summaries: first and last run of the block (they may continue
     # into neighbouring blocks)
     summary_tables = []
     boundary_runs = {0, len(starts) - 1}
+    truncated = 0
     for ri in boundary_runs:
         s = int(starts[ri])
         ln = min(int(lens[ri]), _SUMMARY_CAP)
+        if int(lens[ri]) > _SUMMARY_CAP:
+            truncated += 1
         keyh = _key_hash(tuple(k[s] for k in keys))
         idx = np.arange(s, s + ln)
         summary_tables.append(
@@ -145,6 +173,11 @@ def _scan_block(
                 summary_idx=idx,
             )
         )
+    if truncated:
+        # telemetry row (src=-2): boundary runs longer than _SUMMARY_CAP —
+        # cross-block recall for these giant buckets rests on the in-block
+        # star edges; the driver surfaces the count via ``stats``
+        summary_tables.append(build([-2], [truncated], [0]))
     return pa.concat_tables([edges] + summary_tables, promote_options="default")
 
 
@@ -155,13 +188,17 @@ def bucket_edges(
     pair_cap: int = 1,
     payload_cols: list[str] | None = None,
     verify_fn: VerifyFn | None = None,
+    stats: dict | None = None,
 ):
     """Edges from key collisions, optionally verified in-block.
 
     Returns the deduped (src, dst) edge list (size ≈ duplicate rows — the
     only data that reaches the driver). ``pair_cap<=1`` → star edges
     (sufficient for connected components); ``pair_cap=k`` → all pairs for
-    buckets up to k rows, star beyond (skew guard).
+    buckets up to k rows, star+chain beyond (skew guard; chain keeps
+    verified connectivity independent of the anchor row). ``stats`` (if a
+    dict is passed) receives telemetry: ``summary_truncated`` counts
+    boundary runs longer than the per-block summary cap.
     """
     payload_cols = payload_cols or []
     keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
@@ -185,17 +222,32 @@ def bucket_edges(
     edge_srcs: list[np.ndarray] = []
     edge_dsts: list[np.ndarray] = []
     summaries: list[dict] = []
+    borderline_pairs: list[tuple[int, int]] = []
+    payload_types: dict[str, pa.DataType] = {}
+    truncated_total = 0
     for batch in scanned.iter_batches(batch_format="pyarrow", batch_size=None):
         if batch.num_rows == 0:
             continue
+        if not payload_types:
+            payload_types = {c: batch.schema.field(c).type for c in payload_cols}
         keyh = batch["keyh"].to_numpy(zero_copy_only=False)
-        is_edge = keyh == 0
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
+        is_telemetry = src == -2
+        if is_telemetry.any():
+            truncated_total += int(dst[is_telemetry].sum())
+        is_borderline = keyh == 1
+        if is_borderline.any():
+            borderline_pairs.extend(zip(src[is_borderline].tolist(), dst[is_borderline].tolist()))
+        is_edge = (keyh == 0) & ~is_telemetry
         edge_srcs.append(src[is_edge])
         edge_dsts.append(dst[is_edge])
-        if not is_edge.all():
-            summaries.extend(batch.filter(pa.array(~is_edge)).to_pylist())
+        is_summary = ~is_edge & ~is_telemetry & ~is_borderline
+        if is_summary.any():
+            summaries.extend(batch.filter(pa.array(is_summary)).to_pylist())
+    if stats is not None:
+        stats["summary_truncated"] = truncated_total
+        stats["borderline_pairs"] = borderline_pairs
     if edge_srcs:
         all_src = np.concatenate(edge_srcs)
         all_dst = np.concatenate(edge_dsts)
@@ -227,18 +279,34 @@ def bucket_edges(
                 cand = [(i, j) for i in range(k) for j in range(i + 1, k)]
             else:
                 cand = [(0, j) for j in range(1, k)]
+                if verify_fn is not None:
+                    # star+chain, mirroring the in-block over-cap policy
+                    cand.extend((j, j + 1) for j in range(1, k - 1))
             if verify_fn is None:
                 for i, j in cand:
                     extra_src.append(uniq_rows[i]["dst"])
                     extra_dst.append(uniq_rows[j]["dst"])
             else:
-                # verify kernels consume only payload columns by position
+                # verify kernels consume only payload columns by position;
+                # explicit types (uint64 hashes overflow int64 inference)
                 tbl = pa.table(
-                    {c: pa.array([r[c] for r in uniq_rows]) for c in payload_cols}
+                    {
+                        c: pa.array([r[c] for r in uniq_rows], type=payload_types[c])
+                        for c in payload_cols
+                    }
                 )
                 sp = np.array([c[0] for c in cand], dtype=np.int64)
                 dp = np.array([c[1] for c in cand], dtype=np.int64)
-                mask = verify_fn(tbl, sp, dp)
+                res = verify_fn(tbl, sp, dp)
+                if isinstance(res, tuple):
+                    mask, borderline = res
+                    for (i, j), bl in zip(cand, borderline):
+                        if bl:
+                            borderline_pairs.append(
+                                (uniq_rows[i]["dst"], uniq_rows[j]["dst"])
+                            )
+                else:
+                    mask = res
                 for (i, j), ok in zip(cand, mask):
                     if ok:
                         extra_src.append(uniq_rows[i]["dst"])

@@ -101,6 +101,54 @@ class KeyedUnionFind:
 
 
 # ---------------------------------------------------------------------------
+# broadcast label joins
+# ---------------------------------------------------------------------------
+
+
+def label_arrays(labels: dict[int, int]) -> tuple[np.ndarray, np.ndarray]:
+    """A {node: label} map as parallel sorted numpy arrays — the broadcast
+    form every relabel stage consumes (``ray.put`` once, ``searchsorted``
+    per batch; no per-row dict lookups)."""
+    keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+    order = np.argsort(keys)
+    keys = keys[order]
+    vals = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))[order]
+    return keys, vals
+
+
+def apply_label_arrays(
+    ids: np.ndarray, keys: np.ndarray, vals: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``labels.get(id, id)`` over an id batch using the sorted
+    parallel arrays from ``label_arrays``."""
+    out = ids.astype(np.int64, copy=True)
+    if len(keys):
+        pos = np.searchsorted(keys, out)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = keys[pos_c] == out
+        out[hit] = vals[pos_c[hit]]
+    return out
+
+
+def labelled_dataset(ds, labels: dict[int, int], id_col: str):
+    """(id_col, canonical_id) Dataset from a driver-side label map, applied
+    distributed via the broadcast sorted-array join."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(label_arrays(labels))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: ids, "canonical_id": apply_label_arrays(ids, keys, vals)}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # distributed label propagation
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,12 @@ DEFAULT_MAX_PAIRWISE_ROWS = 200_000
 # ---------------------------------------------------------------------------
 
 
+def _arrow_schema(ds) -> pa.Schema:
+    """The underlying pyarrow schema of a Dataset (Ray wraps it)."""
+    sch = ds.schema()
+    return getattr(sch, "base_schema", sch)
+
+
 def ensure_row_id(ds):
     """Attach a positional int64 ``ROW_ID`` column (distributed zip with a
     lazily-generated range; no data is collected to the driver)."""
@@ -215,6 +221,10 @@ def edges_lsh(
 
 
 def matched_predicate(ds, column: str, deduper: PredicateDeduper, preprocessors, candidate_ref) -> list[int]:
+    """Matched row ids collected to the driver — ONLY for the
+    rule-predication pipeline path, whose subset semantics need the id set.
+    The sequential path uses ``apply_predicate_cluster`` (below), which
+    never collects ids."""
     def stage(batch: pa.Table) -> pa.Table:
         col = _prep_single(batch, column, deduper.with_na_placeholder, preprocessors)
         m = deduper.mask(col)
@@ -224,6 +234,54 @@ def matched_predicate(ds, column: str, deduper: PredicateDeduper, preprocessors,
     sub = _filter_candidates(ds, candidate_ref)
     out = sub.map_batches(stage, batch_format="pyarrow")
     return [r[ROW_ID] for r in out.take_all()]
+
+
+def apply_predicate_cluster(ds, column: str, deduper: PredicateDeduper, preprocessors, keep: str):
+    """Distributed predicate clustering: ALL matched rows form one cluster
+    whose canonical value is the current canonical at the min (keep=first)
+    / max (keep=last) matched row — computed with a per-batch min/max/count
+    partial aggregate (driver sees O(blocks) summaries, never the matched
+    id list, even for predicates matching nearly every row) and applied by
+    re-evaluating the vectorized mask per batch."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        col = _prep_single(batch, column, deduper.with_na_placeholder, preprocessors)
+        m = deduper.mask(col)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
+        hit = rid[m]
+        if not len(hit):
+            return pa.table({"mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"mn": [int(hit.min())], "mx": [int(hit.max())],
+                         "cnt": [len(hit)]})
+
+    parts = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    total = sum(p["cnt"] for p in parts)
+    if total < 2:
+        return ds
+    rep_rid = min(p["mn"] for p in parts) if keep == "first" else max(p["mx"] for p in parts)
+
+    # fetch the canonical value at the representative row (single-row pull)
+    rep_rows = ds.map_batches(
+        lambda t: t.filter(pc.equal(t[ROW_ID], rep_rid)).select([CANONICAL_ID]),
+        batch_format="pyarrow",
+    ).take_all()
+    rep_value = rep_rows[0][CANONICAL_ID]
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        col = _prep_single(batch, column, deduper.with_na_placeholder, preprocessors)
+        m = deduper.mask(col)
+        canon = batch[CANONICAL_ID]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        out = pc.if_else(
+            pa.array(m), pa.scalar(rep_value, type=canon.type), canon
+        )
+        i = batch.column_names.index(CANONICAL_ID)
+        return batch.set_column(i, CANONICAL_ID, out)
+
+    return ds.map_batches(relabel, batch_format="pyarrow").materialize()
 
 
 def edges_pairwise(
@@ -305,28 +363,43 @@ def _apply_components(ds, components: dict[Any, list[int]], keep: str):
     if not rep_of:
         return ds
 
-    reps = set(rep_of.values())
+    reps = np.sort(np.fromiter(set(rep_of.values()), dtype=np.int64))
     reps_ref = ray.put(reps)
 
     def collect_rep_values(batch: pa.Table) -> pa.Table:
         r = ray.get(reps_ref)
-        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((x in r for x in rid), dtype=bool, count=len(rid))
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(rid), dtype=bool)
+        if len(r):
+            pos = np.clip(np.searchsorted(r, rid), 0, len(r) - 1)
+            mask = r[pos] == rid
         return pa.table({ROW_ID: rid[mask], "v": batch[CANONICAL_ID].filter(pa.array(mask))})
 
     rep_rows = ds.map_batches(collect_rep_values, batch_format="pyarrow").take_all()
     rep_value = {r[ROW_ID]: r["v"] for r in rep_rows}
 
-    new_value = {rid: rep_value[rep] for rid, rep in rep_of.items()}
-    map_ref = ray.put(new_value)
+    # relabel map as sorted parallel arrays (rid keys + an Arrow value array
+    # indexed by position) — broadcast once, applied with searchsorted +
+    # Arrow take/if_else per batch; no per-row dict lookups
+    keys_sorted = np.sort(np.fromiter(rep_of.keys(), dtype=np.int64, count=len(rep_of)))
+    canon_type = _arrow_schema(ds).field(CANONICAL_ID).type
+    vals_arr = pa.array(
+        [rep_value[rep_of[int(k)]] for k in keys_sorted], type=canon_type
+    )
+    map_ref = ray.put((keys_sorted, vals_arr))
 
     def relabel(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(map_ref)
-        rid = batch[ROW_ID].to_pylist()
-        canon = batch[CANONICAL_ID].to_pylist()
-        out = [mapping.get(r, c) for r, c in zip(rid, canon)]
+        keys, vals = ray.get(map_ref)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = batch[CANONICAL_ID]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        pos = np.clip(np.searchsorted(keys, rid), 0, max(0, len(keys) - 1))
+        hit = keys[pos] == rid
+        repl = vals.take(pa.array(np.where(hit, pos, 0), type=pa.int64()))
+        out = pc.if_else(pa.array(hit), repl, canon)
         i = batch.column_names.index(CANONICAL_ID)
-        return batch.set_column(i, CANONICAL_ID, pa.array(out, type=batch[CANONICAL_ID].type))
+        return batch.set_column(i, CANONICAL_ID, out)
 
     return ds.map_batches(relabel, batch_format="pyarrow").materialize()
 
@@ -358,12 +431,13 @@ def execute_plan_ray(
             items = [(columns, d) for d in dedupers[SEQUENTIAL_API_DEFAULT_KEY]]
         for col_key, deduper in items:
             if isinstance(deduper, PredicateDeduper):
-                matched = matched_predicate(ds, col_key, deduper, [], None)
-                comps = {0: sorted(matched)} if len(matched) > 1 else {}
+                # distributed: no matched-id collection even for dense
+                # predicates (e.g. str_len(min_len=0) matching every row)
+                ds = apply_predicate_cluster(ds, col_key, deduper, [], keep)
             else:
                 edges = _op_edges(ds, col_key, deduper, [], None, cfg)
                 comps = _clusters_from_edges(edges)
-            ds = _apply_components(ds, comps, keep)
+                ds = _apply_components(ds, comps, keep)
 
     elif isinstance(dedupers, Pipeline):
         for step in dedupers.steps:
@@ -500,6 +574,10 @@ def synthesize_ray(ds):
                 continue
             col = group[name]
             valid = col.drop_null()
+            if pa.types.is_floating(valid.type) and len(valid):
+                # match the local executor's `v == v` rule: float NaN (from
+                # pandas paths that keep NaN rather than null) is not a value
+                valid = valid.filter(pc.invert(pc.is_nan(valid)))
             out[name] = [valid[0].as_py()] if len(valid) else [None]
         return pa.table(
             {n: pa.array(v, type=group.schema.field(n).type) for n, v in out.items()}

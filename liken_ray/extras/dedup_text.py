@@ -54,15 +54,80 @@ def _edges_to_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _labelled(ds, labels: dict[int, int], id_col: str = "doc_id"):
-    ref = ray.put(labels)
+    from liken_ray.engine.components import labelled_dataset
 
-    def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        canon = np.array([lab.get(int(i), int(i)) for i in ids], dtype=np.int64)
-        return pa.table({id_col: ids, "canonical_id": canon})
+    return labelled_dataset(ds, labels, id_col)
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+
+def _minhash_band_rows(
+    batch: pa.Table,
+    *,
+    text_col: str,
+    id_col: str,
+    ngram: int,
+    num_perm: int,
+    b: int,
+    r: int,
+    with_payload: bool,
+) -> pa.Table:
+    """(id, band, key[, text]) band rows for one batch. ``with_payload``
+    replicates the text onto its band rows so candidate pairs can be
+    verified inside the sorted blocks (flagship pattern)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.array(
+        [i for i, t in enumerate(texts) if t is not None and len(t) >= ngram],
+        dtype=np.int64,
+    )
+    if not len(keep):
+        cols = {id_col: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                "key": pa.array([], pa.uint64())}
+        if with_payload:
+            cols[text_col] = pa.array([], batch.schema.field(text_col).type)
+        return pa.table(cols)
+    kept_texts = [texts[i] for i in keep]
+    ids = ids[keep]
+    sigs = mh.batch_signatures(kept_texts, ngram, num_perm)
+    keys = mh.band_keys(sigs, b, r)
+    n = len(ids)
+    cols = {
+        id_col: np.repeat(ids, b),
+        "band": np.tile(np.arange(b, dtype=np.int32), n),
+        "key": keys.reshape(-1),
+    }
+    if with_payload:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[text_col] = col.take(pa.array(np.repeat(keep, b), pa.int64()))
+    return pa.table(cols)
+
+
+def minhash_labels(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_perm: int = 128,
+    threshold: float = 0.8,
+) -> dict[int, int]:
+    """MinHash-LSH near-dup label map {id: canonical} (dup-sized — only
+    clustered rows appear; everything else is implicitly its own
+    canonical). The driver-side object is edge/dup-sized, never
+    table-sized."""
+    b, r = mh.optimal_param(threshold, num_perm)
+
+    from liken_ray.engine.blocking import bucket_edges, collect_edges
+
+    banded = ds.map_batches(
+        _minhash_band_rows,
+        fn_kwargs=dict(
+            text_col=text_col, id_col=id_col, ngram=ngram, num_perm=num_perm,
+            b=b, r=r, with_payload=False,
+        ),
+        batch_format="pyarrow",
+    )
+    return _edges_to_labels(collect_edges(bucket_edges(banded, ["band", "key"], id_col)))
 
 
 def minhash_dedup(
@@ -74,34 +139,16 @@ def minhash_dedup(
     threshold: float = 0.8,
 ):
     """MinHash-LSH near-dup labels: (doc_id, canonical_id)."""
-    b, r = mh.optimal_param(threshold, num_perm)
-
-    def bands(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = [i for i, t in enumerate(texts) if t is not None and len(t) >= ngram]
-        texts = [texts[i] for i in keep]
-        ids = ids[keep]
-        if not len(ids):
-            return pa.table(
-                {id_col: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-                 "key": pa.array([], pa.uint64())}
-            )
-        sigs = mh.batch_signatures(texts, ngram, num_perm)
-        keys = mh.band_keys(sigs, b, r)
-        return pa.table(
-            {
-                id_col: np.repeat(ids, b),
-                "band": np.tile(np.arange(b, dtype=np.int32), len(ids)),
-                "key": keys.reshape(-1),
-            }
-        )
-
-    from liken_ray.engine.blocking import bucket_edges, collect_edges
-
-    banded = ds.map_batches(bands, batch_format="pyarrow")
-    labels = _edges_to_labels(collect_edges(bucket_edges(banded, ["band", "key"], id_col)))
+    labels = minhash_labels(ds, text_col, id_col, ngram, num_perm, threshold)
     return _labelled(ds, labels, id_col)
+
+
+def simhash_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, maxh: int):
+    """Vectorized SWAR Hamming <= maxh over candidate pair positions."""
+    from liken_ray.kernels.phash import popcount64
+
+    sh = batch["sh"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return popcount64(np.bitwise_xor(sh[sp], sh[dp])) <= maxh
 
 
 def simhash_dedup(
@@ -111,18 +158,21 @@ def simhash_dedup(
     ngram: int = 3,
     bands: int = 4,
     max_hamming: int = 3,
+    bucket_pair_cap: int = 64,
 ):
-    """SimHash band-blocked near-dup labels (Hamming <= max_hamming)."""
+    """SimHash band-blocked near-dup labels (Hamming <= max_hamming),
+    verified inside the sorted blocks: band rows carry the 64-bit simhash
+    as payload, ``bucket_edges`` runs the SWAR-popcount kernel per block —
+    no per-bucket ``map_groups``, no per-row Python popcount."""
+    import functools
+
+    from liken_ray.engine.blocking import bucket_edges
     from liken_ray.kernels.phash import phash_band_keys
 
-    def sim(batch: pa.Table) -> pa.Table:
-        return tx.simhash64(batch, text_col, ngram)
-
-    sims = ds.map_batches(sim, batch_format="pyarrow").materialize()
-
     def band_stage(batch: pa.Table) -> pa.Table:
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = tx.simhash64(batch, text_col, ngram)
+        sh = sims["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = sims[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keys = phash_band_keys(sh, bands)
         return pa.table(
             {
@@ -133,31 +183,46 @@ def simhash_dedup(
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        sh = group["sh"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        _, first = np.unique(ids, return_index=True)
-        ids, sh = ids[first], sh[first]
-        k = len(ids)
-        if k < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        src, dst = [], []
-        for i in range(k):
-            x = np.bitwise_xor(sh[i], sh[i + 1 :])
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(ham <= max_hamming):
-                src.append(int(ids[i]))
-                dst.append(int(ids[i + 1 + off]))
-        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
-
-    edge_rows = (
-        sims.map_batches(band_stage, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .take_all()
+    banded = ds.map_batches(band_stage, batch_format="pyarrow")
+    edges = bucket_edges(
+        banded,
+        ["band", "key"],
+        id_col,
+        pair_cap=bucket_pair_cap,
+        payload_cols=["sh"],
+        verify_fn=functools.partial(simhash_verify_kernel, maxh=max_hamming),
     )
-    labels = _edges_to_labels([(r_["src"], r_["dst"]) for r_ in edge_rows])
-    return _labelled(ds, labels, id_col)
+    return _labelled(ds, _edges_to_labels(edges), id_col)
+
+
+def jaccard_verify_kernel(
+    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, text_col: str, ngram: int, tmin: float
+):
+    """Exact char-ngram Jaccard > tmin over candidate pair positions —
+    sorted rolling-hash gram arrays (over code points, matching Python
+    ``set(text[i:i+n])`` shingling) cached per involved row."""
+    from liken_ray.kernels import suffix as sx
+
+    texts = batch[text_col].to_pylist()
+    grams: dict[int, np.ndarray] = {}
+
+    def g_of(pos: int) -> np.ndarray:
+        g = grams.get(pos)
+        if g is None:
+            g = np.unique(sx.rolling_char_gram_hashes(texts[pos], ngram))
+            grams[pos] = g
+        return g
+
+    mask = np.zeros(len(sp), dtype=bool)
+    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+        ga, gb = g_of(a), g_of(b)
+        if not len(ga) and not len(gb):
+            mask[i] = True
+            continue
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        union = len(ga) + len(gb) - inter
+        mask[i] = bool(union) and inter / union > tmin
+    return mask
 
 
 def ngram_jaccard_dedup(
@@ -167,43 +232,38 @@ def ngram_jaccard_dedup(
     ngram: int = 3,
     threshold: float = 0.7,
     num_perm: int = 128,
+    bucket_pair_cap: int = 64,
 ):
-    """LSH-blocked candidates verified by exact n-gram Jaccard > threshold."""
+    """LSH-blocked candidates verified by exact n-gram Jaccard > threshold.
+
+    The verification happens inside the sorted band blocks on the actual
+    band-collision pairs (text travels as verify payload) — nothing but
+    verified edges reaches the driver, and transitive chains only form
+    through pairs that individually pass the exact-Jaccard check."""
+    import functools
+
+    from liken_ray.engine.blocking import bucket_edges
+
     b, r = mh.optimal_param(threshold, num_perm)
-
-    cand_ds = minhash_dedup(ds, text_col, id_col, ngram, num_perm, threshold)
-    # minhash_dedup gives transitive labels; recover candidate pairs as
-    # (member, canonical) and verify each against exact jaccard
-    cand_rows = [r_ for r_ in cand_ds.take_all() if r_[id_col] != r_["canonical_id"]]
-    need = {r_[id_col] for r_ in cand_rows} | {r_["canonical_id"] for r_ in cand_rows}
-    ref = ray.put(need)
-
-    def fetch(batch: pa.Table) -> pa.Table:
-        want = ray.get(ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(ids))
-        return pa.table({id_col: ids[mask], "t": batch[text_col].filter(pa.array(mask))})
-
-    texts = {r_[id_col]: r_["t"] for r_ in ds.map_batches(fetch, batch_format="pyarrow").take_all()}
-
-    def shingles(t):
-        return {t[i : i + ngram] for i in range(len(t) - ngram + 1)}
-
-    edges = []
-    cache: dict[int, set] = {}
-    for r_ in cand_rows:
-        a, c = int(r_[id_col]), int(r_["canonical_id"])
-        ta, tc = texts.get(a), texts.get(c)
-        if ta is None or tc is None:
-            continue
-        sa = cache.setdefault(a, shingles(ta))
-        sc = cache.setdefault(c, shingles(tc))
-        inter = len(sa & sc)
-        union = len(sa) + len(sc) - inter
-        if union and inter / union > threshold:
-            edges.append((a, c))
-    labels = _edges_to_labels(edges)
-    return _labelled(ds, labels, id_col)
+    banded = ds.map_batches(
+        _minhash_band_rows,
+        fn_kwargs=dict(
+            text_col=text_col, id_col=id_col, ngram=ngram, num_perm=num_perm,
+            b=b, r=r, with_payload=True,
+        ),
+        batch_format="pyarrow",
+    )
+    edges = bucket_edges(
+        banded,
+        ["band", "key"],
+        id_col,
+        pair_cap=bucket_pair_cap,
+        payload_cols=[text_col],
+        verify_fn=functools.partial(
+            jaccard_verify_kernel, text_col=text_col, ngram=ngram, tmin=threshold
+        ),
+    )
+    return _labelled(ds, _edges_to_labels(edges), id_col)
 
 
 def embedding_cosine_dedup(

@@ -100,12 +100,22 @@ def phash_batch(datas: list[bytes], ws, hs, fmts) -> np.ndarray:
     return out
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-element Python)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 hash arrays."""
-    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array(
-        [bin(int(v)).count("1") for v in x], dtype=np.int64
-    )
+    return popcount64(np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
 
 
 def phash_band_keys(phashes: np.ndarray, bands: int = 4) -> np.ndarray:

@@ -139,6 +139,21 @@ def rolling_gram_hashes(text: bytes, gram_len: int) -> np.ndarray:
     """Vectorized 64-bit polynomial rolling hashes of every ``gram_len``-byte
     window (wraparound arithmetic; base odd → invertible mod 2^64)."""
     arr = np.frombuffer(text, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    return _rolling_hashes_arr(arr, gram_len)
+
+
+def rolling_char_gram_hashes(text: str, gram_len: int) -> np.ndarray:
+    """Rolling hashes over UNICODE CODE POINTS (char n-grams, not byte
+    n-grams) — parity with Python ``set(text[i:i+n])`` shingling for
+    multibyte scripts."""
+    arr = (
+        np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        + np.uint64(1)
+    )
+    return _rolling_hashes_arr(arr, gram_len)
+
+
+def _rolling_hashes_arr(arr: np.ndarray, gram_len: int) -> np.ndarray:
     n = len(arr)
     if n < gram_len:
         return np.empty(0, dtype=np.uint64)

@@ -55,16 +55,36 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "lsh_threshold": 0.7,
     "caption_verify": True,
     "verify_jaccard": 0.5,  # drop band false-positives; planted near-dups sit >= ~0.7
+    # verify payload: "sketch" ships a fixed-width KMV bottom-k gram-hash
+    # sketch (k*8 bytes) through the band shuffle instead of the full
+    # caption ×b bands — bounded shuffle bytes at web scale. Jaccard is
+    # EXACT when a pair's gram union fits in k, else a KMV estimate with
+    # stderr ~ sqrt(t(1-t)/k) (k=64 → ±0.06; decision margin vs the 0.5
+    # cut is > 3σ for real dups at >= 0.7). "caption" = exact verify.
+    "verify_payload": "sketch",
+    "sketch_k": 64,
+    "sketch_eps": 0.19,  # ≈3σ at k=64, t=0.5: the exact-confirm band
     "null_captions": "skip",  # "skip" | "cluster" (reference "na" semantics)
-    # image path
+    # image path. Recall contract (pigeonhole): band blocking GUARANTEES a
+    # collision only for pairs with Hamming <= phash_bands - 1, so
+    # max_hamming must stay <= phash_bands - 1 (pairs beyond that would
+    # pass verification but may never meet in a bucket — silent recall
+    # loss). Larger radii need more bands (key width 64/bands shrinks —
+    # mind bucket skew at scale) plus PSNR confirmation for precision.
     "phash_bands": 4,
-    "max_hamming": 8,
+    "max_hamming": 3,
     "psnr_verify": False,
     "psnr_min_db": 40.0,
-    # substring path
+    # substring path. gram_len == substring_min_len keeps blocking and
+    # acceptance consistent: a winnowing fingerprint collision IS a shared
+    # >= gram_len-byte substring (w.h.p.), so every cross-partition edge
+    # meets the configured minimum. Winnowing guarantees a collision for
+    # shared runs >= gram_len + gram_window - 1 bytes; runs in
+    # [substring_min_len, that bound) are still caught exactly within each
+    # partition by the suffix-array pass.
     "long_caption_min": 512,
     "substring_min_len": 64,
-    "gram_len": 50,
+    "gram_len": 64,
     "gram_window": 16,
     # execution
     "bucket_pair_cap": 64,
@@ -112,29 +132,56 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
         )
         caps = [caps[i] for i in keep]
         rid = rid[keep]
+    sketch_mode = cfg["caption_verify"] and cfg["verify_payload"] == "sketch"
+    payload_col = "csk" if sketch_mode else "caption"
+    payload_type = pa.list_(pa.uint64()) if sketch_mode else batch.schema.field("caption").type
     if not len(rid):
-        return pa.table(
-            {RID: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-             "key": pa.array([], pa.uint64()),
-             "caption": pa.array([], batch.schema.field("caption").type)}
-        )
+        cols = {RID: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                "key": pa.array([], pa.uint64())}
+        if cfg["caption_verify"]:
+            cols[payload_col] = pa.array([], payload_type)
+        return pa.table(cols)
     sigs = mh.batch_signatures(caps, ngram, num_perm, na_placeholder="na")
     keys = mh.band_keys(sigs, b, r)
     n = len(rid)
-    cap_col = batch["caption"]
-    if isinstance(cap_col, pa.ChunkedArray):
-        cap_col = cap_col.combine_chunks()
-    return pa.table(
-        {
-            RID: np.repeat(rid, b),
-            "band": np.tile(np.arange(b, dtype=np.int32), n),
-            "key": keys.reshape(-1),
-            # payload travels with the band rows so candidate pairs are
-            # verified inside the sorted blocks (no driver round-trip);
-            # arrow-native take — no python-object string churn
-            "caption": cap_col.take(pa.array(np.repeat(keep, b), pa.int64())),
-        }
-    )
+    cols = {
+        RID: np.repeat(rid, b),
+        "band": np.tile(np.arange(b, dtype=np.int32), n),
+        "key": keys.reshape(-1),
+    }
+    if cfg["caption_verify"]:
+        if sketch_mode:
+            # fixed-width KMV bottom-k gram-hash sketch per caption: the
+            # verify payload the band rows replicate ×b through the sort
+            # shuffle is k*8 bytes, not the unbounded caption string
+            k = cfg["sketch_k"]
+            parts: list[np.ndarray] = []
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            null_mask = np.zeros(n, dtype=bool)
+            for i, c in enumerate(caps):
+                if c is None:
+                    null_mask[i] = True
+                    offsets[i + 1] = offsets[i]
+                    continue
+                g = np.unique(sx.rolling_gram_hashes(c.encode("utf8"), ngram))[:k]
+                parts.append(g)
+                offsets[i + 1] = offsets[i] + len(g)
+            values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+            sk = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(values, pa.uint64()),
+            )
+            if null_mask.any():
+                sk = pc.if_else(pa.array(null_mask), pa.nulls(n, sk.type), sk)
+            cols["csk"] = sk.take(pa.array(np.repeat(np.arange(n), b), pa.int64()))
+        else:
+            # exact-verify mode: the full caption travels with its band rows
+            # (arrow-native take — no python-object string churn)
+            cap_col = batch["caption"]
+            if isinstance(cap_col, pa.ChunkedArray):
+                cap_col = cap_col.combine_chunks()
+            cols["caption"] = cap_col.take(pa.array(np.repeat(keep, b), pa.int64()))
+    return pa.table(cols)
 
 
 def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ngram, tmin, cluster_nulls):
@@ -166,23 +213,68 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
     return mask
 
 
+def caption_sketch_verify_kernel(
+    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, k, tmin, eps, cluster_nulls
+):
+    """KMV Jaccard over bottom-k gram-hash sketches, three-way decision:
+    est > tmin+eps → accept, est <= tmin-eps → reject, otherwise
+    *borderline* — returned separately for an exact confirmation pass
+    (the estimate is exact when the pair's gram union fits in k; otherwise
+    it's the standard two-sketch estimate |bottom-k(A ∪ B) ∩ A ∩ B| / k
+    with stderr ≈ sqrt(t(1-t)/k), so eps ≈ 3σ keeps wrong *direct*
+    decisions below ~0.1% while the uncertainty band gets exact Jaccard).
+    Returns (accept_mask, borderline_mask)."""
+    col = batch["csk"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sketches = col.to_pylist()
+    arrs: dict[int, np.ndarray | None] = {}
+
+    def s_of(pos: int) -> np.ndarray | None:
+        a = arrs.get(pos, False)
+        if a is False:
+            v = sketches[pos]
+            a = None if v is None else np.asarray(v, dtype=np.uint64)
+            arrs[pos] = a
+        return a
+
+    accept = np.zeros(len(sp), dtype=bool)
+    borderline = np.zeros(len(sp), dtype=bool)
+    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+        ga, gb = s_of(a), s_of(b)
+        if ga is None or gb is None:
+            accept[i] = ga is None and gb is None and cluster_nulls
+            continue
+        if not len(ga) and not len(gb):
+            accept[i] = True
+            continue
+        union = np.union1d(ga, gb)
+        kk = min(k, len(union))
+        if kk == 0:
+            accept[i] = True
+            continue
+        bottom = union[:kk]
+        inter = np.intersect1d(ga, gb, assume_unique=True)
+        est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
+        # both sketches complete (strictly under k ⇒ untruncated) → exact J
+        exact = len(ga) < k and len(gb) < k
+        if exact:
+            accept[i] = est > tmin
+        elif est > tmin + eps:
+            accept[i] = True
+        elif est > tmin - eps:
+            borderline[i] = True
+    return accept, borderline
+
+
 def phash_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, maxh):
     """Vectorized Hamming <= maxh over candidate pair positions."""
     ph64 = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     return _popcount64(np.bitwise_xor(ph64[sp], ph64[dp])) <= maxh
 
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized SWAR popcount over uint64."""
-    m1 = np.uint64(0x5555555555555555)
-    m2 = np.uint64(0x3333333333333333)
-    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
-    h01 = np.uint64(0x0101010101010101)
-    with np.errstate(over="ignore"):
-        x = x - ((x >> np.uint64(1)) & m1)
-        x = (x & m2) + ((x >> np.uint64(2)) & m2)
-        x = (x + (x >> np.uint64(4))) & m4
-        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+# shared SWAR popcount kernel (also used by extras.dedup_text.simhash_dedup)
+_popcount64 = ph.popcount64
 
 
 def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
@@ -212,13 +304,24 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     verify_fn = None
     payload: list[str] = []
     if cfg["caption_verify"]:
-        payload = ["caption"]
-        verify_fn = functools.partial(
-            caption_verify_kernel,
-            ngram=cfg["ngram"],
-            tmin=cfg["verify_jaccard"],
-            cluster_nulls=cfg["null_captions"] == "cluster",
-        )
+        if cfg["verify_payload"] == "sketch":
+            payload = ["csk"]
+            verify_fn = functools.partial(
+                caption_sketch_verify_kernel,
+                k=cfg["sketch_k"],
+                tmin=cfg["verify_jaccard"],
+                eps=cfg["sketch_eps"],
+                cluster_nulls=cfg["null_captions"] == "cluster",
+            )
+        else:
+            payload = ["caption"]
+            verify_fn = functools.partial(
+                caption_verify_kernel,
+                ngram=cfg["ngram"],
+                tmin=cfg["verify_jaccard"],
+                cluster_nulls=cfg["null_captions"] == "cluster",
+            )
+    stats: dict[str, Any] = {}
     edges = bucket_edges(
         banded,
         ["band", "key"],
@@ -226,9 +329,44 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
         pair_cap=cfg["bucket_pair_cap"],
         payload_cols=payload,
         verify_fn=verify_fn,
+        stats=stats,
     )
     out = collect_edges(edges)
-    ckpt.record("caption_edges", verified_edges=len(out))
+
+    # exact confirmation of the sketch uncertainty band: fetch the captions
+    # of ONLY the borderline pairs' rows (O(borderline), not O(rows)) and
+    # apply the exact char-ngram Jaccard decision
+    borderline = stats.get("borderline_pairs", [])
+    confirmed = 0
+    if borderline:
+        need = {r for p in borderline for r in p}
+        caps = _broadcast_column(ds, need, "caption")
+
+        def exact_j(ca: str | None, cb: str | None) -> bool:
+            if ca is None or cb is None:
+                return ca is None and cb is None and cfg["null_captions"] == "cluster"
+            ga = np.unique(sx.rolling_gram_hashes(ca.encode("utf8"), cfg["ngram"]))
+            gb = np.unique(sx.rolling_gram_hashes(cb.encode("utf8"), cfg["ngram"]))
+            if not len(ga) and not len(gb):
+                return True
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            return bool(union) and inter / union > cfg["verify_jaccard"]
+
+        for a, b in borderline:
+            if exact_j(caps.get(a), caps.get(b)):
+                out.append((min(a, b), max(a, b)))
+                confirmed += 1
+        out = list(set(out))
+
+    ckpt.record(
+        "caption_edges",
+        verified_edges=len(out),
+        payload=cfg["verify_payload"] if cfg["caption_verify"] else "none",
+        summary_truncated=stats.get("summary_truncated", 0),
+        borderline_pairs=len(borderline),
+        borderline_confirmed=confirmed,
+    )
     return out
 
 
@@ -256,6 +394,7 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         batch_format="pyarrow",
         batch_size=cfg["batch_size"],
     )
+    stats: dict[str, Any] = {}
     edges = bucket_edges(
         banded,
         ["band", "key"],
@@ -263,9 +402,14 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         pair_cap=cfg["bucket_pair_cap"],
         payload_cols=["phash"],
         verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
+        stats=stats,
     )
     verified = collect_edges(edges)
-    ckpt.record("image_edges", hamming_verified=len(verified))
+    ckpt.record(
+        "image_edges",
+        hamming_verified=len(verified),
+        summary_truncated=stats.get("summary_truncated", 0),
+    )
 
     if not cfg["psnr_verify"] or not verified or source is None or not isinstance(source, str):
         return verified
@@ -378,6 +522,19 @@ def run_flagship(
     if config:
         cfg.update(config)
     ckpt = Checkpointer(run_dir, cfg)
+    if cfg["max_hamming"] > cfg["phash_bands"] - 1:
+        # pigeonhole: banding only guarantees a bucket collision for pairs
+        # within Hamming <= phash_bands-1; beyond that, recall is
+        # probabilistic. Surfaced as a metric, not an error (a user may
+        # accept probabilistic recall for the wider radius).
+        ckpt.record(
+            "config",
+            warning=(
+                f"max_hamming={cfg['max_hamming']} exceeds the banding recall "
+                f"guarantee (phash_bands-1={cfg['phash_bands'] - 1}); image "
+                "pairs beyond the guarantee collide only probabilistically"
+            ),
+        )
 
     t0 = time.perf_counter()
     ds = _ingest(source, cfg)

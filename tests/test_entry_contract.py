@@ -44,9 +44,15 @@ def test_entry_runs(ray_session):
     "name",
     [
         "exact_dedup_documents",
+        "drop_duplicates_documents",
         "canonicals_documents",
+        "canonicals_n2_documents",
         "synthesize_documents",
         "str_contains_documents",
+        "str_endswith_documents",
+        "isna_documents",
+        "notna_documents",
+        "isin_documents",
         "token_count_documents",
         "quality_documents",
         "ann_topk_embeddings",

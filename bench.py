@@ -84,17 +84,19 @@ def run_bench(num_cpus: int, sf_dir: str, pairs_rows: int) -> dict:
     )
 
     # secondary: document + embedding pipelines on the driver testdata
-    import __ray_entry__ as em
+    # (skipped in flagship-only mode — the scaling children time nothing else)
+    if os.environ.get("GRAFT_BENCH_ONLY") != "flagship":
+        import __ray_entry__ as em
 
-    qs = em.queries()
-    for name in (
-        "minhash_dedup_documents",
-        "exact_dedup_documents",
-        "quality_documents",
-        "simhash_dedup_documents",
-        "ann_topk_embeddings",
-    ):
-        timed(name, lambda n=name: _consume(qs[n](sf_dir)))
+        qs = em.queries()
+        for name in (
+            "minhash_dedup_documents",
+            "exact_dedup_documents",
+            "quality_documents",
+            "simhash_dedup_documents",
+            "ann_topk_embeddings",
+        ):
+            timed(name, lambda n=name: _consume(qs[n](sf_dir)))
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -148,25 +150,34 @@ def main() -> None:
         # larger input for the scaling runs so fixed per-stage costs
         # amortize (generated once, cached under /tmp)
         pairs_rows = int(os.environ.get("GRAFT_PAIRS_ROWS", "250000"))
-        # N and 4N CPUs. Default 2/8 rather than 8/32: this machine exposes
-        # 32 hyperthreads on ~16 physical cores and carries background load
-        # (a pure-CPU burn test yields only ~22x effective parallelism at 32
-        # workers), so 8->32 measures SMT/tenant contention, not pipeline
-        # scaling. 2->8 stays in the physically linear region.
+        # Primary datapoint: 2->8 CPUs (N and 4N). This machine exposes 32
+        # hyperthreads on ~16 physical cores and carries background tenant
+        # load (a pure-CPU burn test yields only ~22x effective parallelism
+        # at 32 workers), so 8->32 partly measures SMT/tenant contention —
+        # it is still REPORTED alongside (with that caveat), per-review, so
+        # both halves of the curve are visible.
         low_cpus = int(os.environ.get("GRAFT_SCALE_LOW", "2"))
         high_cpus = int(os.environ.get("GRAFT_SCALE_HIGH", "8"))
-        # warm the input cache once so neither child pays generation cost
+        # warm the input cache once so no child pays generation cost
         _bench_pairs_dir(pairs_rows)
-        reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
-        # best-of-N per configuration: the sandbox carries background load,
-        # so a single run is noise-dominated
-        lows = [_run_child(low_cpus, sf_dir, pairs_rows) for _ in range(reps)]
-        highs = [_run_child(high_cpus, sf_dir, pairs_rows) for _ in range(reps)]
-        low = min(lows, key=lambda r: r["queries"]["flagship_pairs"])
-        high = min(highs, key=lambda r: r["queries"]["flagship_pairs"])
-        t_low = low["queries"]["flagship_pairs"]
-        t_high = high["queries"]["flagship_pairs"]
+        reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+        os.environ["GRAFT_BENCH_ONLY"] = "flagship"
+
+        def median_time(cpus: int) -> tuple[float, list[float]]:
+            runs = [_run_child(cpus, sf_dir, pairs_rows) for _ in range(reps)]
+            times = sorted(r["queries"]["flagship_pairs"] for r in runs)
+            return times[len(times) // 2], times
+
+        t_low, low_times = median_time(low_cpus)
+        t_high, high_times = median_time(high_cpus)
         efficiency = round((t_low / t_high) / (high_cpus / low_cpus), 3)
+
+        # secondary: 8->32 under SMT/tenant contention (physical ceiling
+        # ~0.74 on this box — see BASELINE.md)
+        t8, times8 = (t_high, high_times) if high_cpus == 8 else median_time(8)
+        t32, times32 = median_time(32)
+        efficiency_8_32 = round((t8 / t32) / 4.0, 3)
+
         print(
             json.dumps(
                 {
@@ -176,9 +187,17 @@ def main() -> None:
                     "queries": {
                         f"flagship_cpus{low_cpus}_sec": t_low,
                         f"flagship_cpus{high_cpus}_sec": t_high,
-                        f"images_per_sec_cpus{low_cpus}": low["images_per_sec"],
-                        f"images_per_sec_cpus{high_cpus}": high["images_per_sec"],
+                        "flagship_cpus8_sec": t8,
+                        "flagship_cpus32_sec": t32,
+                        "efficiency_8_32": efficiency_8_32,
                     },
+                    "rep_times": {
+                        f"cpus{low_cpus}": low_times,
+                        f"cpus{high_cpus}": high_times,
+                        "cpus8": times8,
+                        "cpus32": times32,
+                    },
+                    "aggregation": f"median of {reps} reps per configuration",
                     "sf": _sf_from_dir(sf_dir),
                     "num_cpus": high_cpus,
                     "pairs_rows": pairs_rows,

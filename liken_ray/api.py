@@ -38,6 +38,27 @@ def _is_ray_dataset(df: Any) -> bool:
     return mod.startswith("ray.data")
 
 
+def _validate_local_input(df: Any) -> None:
+    """Type-check a non-Ray input WITHOUT converting it (conversion happens
+    lazily at execution); raises the same errors as ``_to_arrow``."""
+    if isinstance(df, pa.Table):
+        return
+    mod = type(df).__module__.partition(".")[0]
+    if mod in ("pandas", "polars"):
+        return
+    if mod in ("dask", "dask_expr", "modin", "pyspark"):
+        raise TypeError(
+            f"{type(df).__module__}.{type(df).__name__} is not supported: "
+            "liken_ray replaces the reference's dask/modin/pyspark backends "
+            "with ray.data. Convert with ray.data.from_pandas / from_arrow / "
+            "read_parquet and pass the Dataset."
+        )
+    raise TypeError(
+        f"Invalid arg: df must be a pandas/polars DataFrame, pyarrow Table or "
+        f"ray.data.Dataset, got {type(df).__name__}"
+    )
+
+
 def _to_arrow(df: Any) -> tuple[pa.Table, str]:
     """Return (table, original_kind)."""
     if isinstance(df, pa.Table):
@@ -97,6 +118,8 @@ class Dedupe:
         self._df = df
         self._collection = CollectionsManager()
         self._is_ray = _is_ray_dataset(df)
+        if not self._is_ray:
+            _validate_local_input(df)  # eager, conversion-free type check
         self._scope = scope
         self._engine_kwargs = engine_kwargs
         self.has_been_canonicalized = False

@@ -151,10 +151,13 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
     }
     if cfg["caption_verify"]:
         if sketch_mode:
-            # fixed-width KMV bottom-k gram-hash sketch per caption: the
-            # verify payload the band rows replicate ×b through the sort
-            # shuffle is k*8 bytes, not the unbounded caption string
+            # bounded-width verify payload (≤ (k+1)*8 bytes per band row,
+            # never the unbounded caption): captions that FIT the budget are
+            # byte-packed verbatim (exact verification downstream); longer
+            # captions carry a KMV bottom-k gram-hash sketch. Header word:
+            # byte length (packed) or 2^63 | total-unique-grams (sketch).
             k = cfg["sketch_k"]
+            budget = k * 8
             parts: list[np.ndarray] = []
             offsets = np.zeros(n + 1, dtype=np.int32)
             null_mask = np.zeros(n, dtype=bool)
@@ -163,9 +166,19 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
                     null_mask[i] = True
                     offsets[i + 1] = offsets[i]
                     continue
-                g = np.unique(sx.rolling_gram_hashes(c.encode("utf8"), ngram))[:k]
-                parts.append(g)
-                offsets[i + 1] = offsets[i] + len(g)
+                raw = c.encode("utf8")
+                if len(raw) <= budget:
+                    nw = (len(raw) + 7) // 8
+                    w = np.empty(nw + 1, dtype=np.uint64)
+                    w[0] = len(raw)
+                    w[1:] = np.frombuffer(raw.ljust(nw * 8, b"\0"), dtype=np.uint64)
+                else:
+                    g = np.unique(sx.rolling_gram_hashes(raw, ngram))
+                    w = np.empty(min(len(g), k) + 1, dtype=np.uint64)
+                    w[0] = np.uint64(1 << 63) | np.uint64(len(g))
+                    w[1:] = g[:k]
+                parts.append(w)
+                offsets[i + 1] = offsets[i] + len(w)
             values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
             sk = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()),
@@ -214,53 +227,74 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
 
 
 def caption_sketch_verify_kernel(
-    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, k, tmin, eps, cluster_nulls
+    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, k, ngram, tmin, eps, cluster_nulls
 ):
-    """KMV Jaccard over bottom-k gram-hash sketches, three-way decision:
-    est > tmin+eps → accept, est <= tmin-eps → reject, otherwise
-    *borderline* — returned separately for an exact confirmation pass
-    (the estimate is exact when the pair's gram union fits in k; otherwise
-    it's the standard two-sketch estimate |bottom-k(A ∪ B) ∩ A ∩ B| / k
-    with stderr ≈ sqrt(t(1-t)/k), so eps ≈ 3σ keeps wrong *direct*
-    decisions below ~0.1% while the uncertainty band gets exact Jaccard).
+    """Adaptive-payload Jaccard verification, three-way decision:
+
+    - both rows byte-packed (caption fit the k*8-byte budget) → EXACT
+      char-ngram Jaccard, decided here;
+    - any row sketched (long caption): first the exact length prune
+      J <= min(|A|,|B|)/max(|A|,|B|) (unique-gram totals ride in the
+      header), then the KMV estimate |bottom-k(A ∪ B) ∩ A ∩ B| / k —
+      est > tmin+eps accepts, est <= tmin-eps rejects, the band between is
+      *borderline* and returned separately for an exact confirmation pass
+      (stderr ≈ sqrt(t(1-t)/k); eps ≈ 3σ keeps wrong direct decisions
+      below ~0.1%).
+
     Returns (accept_mask, borderline_mask)."""
     col = batch["csk"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     sketches = col.to_pylist()
-    arrs: dict[int, np.ndarray | None] = {}
+    # pos -> (is_exact, sorted gram hashes, total unique grams) | None
+    cache: dict[int, tuple[bool, np.ndarray, int] | None] = {}
+    HIGH = np.uint64(1 << 63)
 
-    def s_of(pos: int) -> np.ndarray | None:
-        a = arrs.get(pos, False)
-        if a is False:
-            v = sketches[pos]
-            a = None if v is None else np.asarray(v, dtype=np.uint64)
-            arrs[pos] = a
-        return a
+    def s_of(pos: int):
+        ent = cache.get(pos, False)
+        if ent is not False:
+            return ent
+        v = sketches[pos]
+        if v is None:
+            cache[pos] = None
+            return None
+        w = np.asarray(v, dtype=np.uint64)
+        head = w[0]
+        if head & HIGH:  # truncated bottom-k sketch of a long caption
+            ent = (False, w[1:], int(head & ~HIGH))
+        else:  # byte-packed caption — reconstruct exact gram set
+            raw = w[1:].tobytes()[: int(head)]
+            g = np.unique(sx.rolling_gram_hashes(raw, ngram))
+            ent = (True, g, len(g))
+        cache[pos] = ent
+        return ent
 
     accept = np.zeros(len(sp), dtype=bool)
     borderline = np.zeros(len(sp), dtype=bool)
     for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
-        ga, gb = s_of(a), s_of(b)
-        if ga is None or gb is None:
-            accept[i] = ga is None and gb is None and cluster_nulls
+        ea, eb = s_of(a), s_of(b)
+        if ea is None or eb is None:
+            accept[i] = ea is None and eb is None and cluster_nulls
             continue
-        if not len(ga) and not len(gb):
+        exact_a, ga, na = ea
+        exact_b, gb, nb = eb
+        if not na and not nb:
             accept[i] = True
             continue
+        if exact_a and exact_b:
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = na + nb - inter
+            accept[i] = bool(union) and inter / union > tmin
+            continue
+        # exact upper bound from set sizes: J <= min/max
+        if min(na, nb) <= tmin * max(na, nb):
+            continue  # reject — cannot reach the threshold
         union = np.union1d(ga, gb)
         kk = min(k, len(union))
-        if kk == 0:
-            accept[i] = True
-            continue
         bottom = union[:kk]
         inter = np.intersect1d(ga, gb, assume_unique=True)
         est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
-        # both sketches complete (strictly under k ⇒ untruncated) → exact J
-        exact = len(ga) < k and len(gb) < k
-        if exact:
-            accept[i] = est > tmin
-        elif est > tmin + eps:
+        if est > tmin + eps:
             accept[i] = True
         elif est > tmin - eps:
             borderline[i] = True
@@ -309,6 +343,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
             verify_fn = functools.partial(
                 caption_sketch_verify_kernel,
                 k=cfg["sketch_k"],
+                ngram=cfg["ngram"],
                 tmin=cfg["verify_jaccard"],
                 eps=cfg["sketch_eps"],
                 cluster_nulls=cfg["null_captions"] == "cluster",
@@ -335,34 +370,51 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
 
     # exact confirmation of the sketch uncertainty band: fetch the captions
     # of ONLY the borderline pairs' rows (O(borderline), not O(rows)) and
-    # apply the exact char-ngram Jaccard decision
-    borderline = stats.get("borderline_pairs", [])
+    # apply the exact char-ngram Jaccard decision. Pairs collide in up to b
+    # bands — dedupe before confirming, and cache gram arrays per row.
+    borderline = {(min(a, b), max(a, b)) for a, b in stats.get("borderline_pairs", [])}
+    borderline -= set(out)
     confirmed = 0
     if borderline:
         need = {r for p in borderline for r in p}
         caps = _broadcast_column(ds, need, "caption")
+        grams: dict[int, np.ndarray | None] = {}
 
-        def exact_j(ca: str | None, cb: str | None) -> bool:
-            if ca is None or cb is None:
-                return ca is None and cb is None and cfg["null_captions"] == "cluster"
-            ga = np.unique(sx.rolling_gram_hashes(ca.encode("utf8"), cfg["ngram"]))
-            gb = np.unique(sx.rolling_gram_hashes(cb.encode("utf8"), cfg["ngram"]))
-            if not len(ga) and not len(gb):
-                return True
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            union = len(ga) + len(gb) - inter
-            return bool(union) and inter / union > cfg["verify_jaccard"]
+        def g_of(rid: int) -> np.ndarray | None:
+            g = grams.get(rid, False)
+            if g is False:
+                c = caps.get(rid)
+                g = None if c is None else np.unique(
+                    sx.rolling_gram_hashes(c.encode("utf8"), cfg["ngram"])
+                )
+                grams[rid] = g
+            return g
 
         for a, b in borderline:
-            if exact_j(caps.get(a), caps.get(b)):
-                out.append((min(a, b), max(a, b)))
+            ga, gb = g_of(a), g_of(b)
+            if ga is None or gb is None:
+                ok = ga is None and gb is None and cfg["null_captions"] == "cluster"
+            elif not len(ga) and not len(gb):
+                ok = True
+            else:
+                inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                union = len(ga) + len(gb) - inter
+                ok = bool(union) and inter / union > cfg["verify_jaccard"]
+            if ok:
+                out.append((a, b))
                 confirmed += 1
-        out = list(set(out))
 
     ckpt.record(
         "caption_edges",
         verified_edges=len(out),
         payload=cfg["verify_payload"] if cfg["caption_verify"] else "none",
+        # shuffle payload width per band row: bounded (k*8 B) in sketch
+        # mode vs the unbounded caption string in exact mode
+        payload_row_bytes=(
+            cfg["sketch_k"] * 8
+            if cfg["caption_verify"] and cfg["verify_payload"] == "sketch"
+            else None
+        ),
         summary_truncated=stats.get("summary_truncated", 0),
         borderline_pairs=len(borderline),
         borderline_confirmed=confirmed,

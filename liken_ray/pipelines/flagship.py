@@ -62,8 +62,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # stderr ~ sqrt(t(1-t)/k) (k=64 → ±0.06; decision margin vs the 0.5
     # cut is > 3σ for real dups at >= 0.7). "caption" = exact verify.
     "verify_payload": "sketch",
-    "sketch_k": 64,
-    "sketch_eps": 0.19,  # ≈3σ at k=64, t=0.5: the exact-confirm band
+    # 2 KB packing budget: typical web captions ship verbatim (exact
+    # in-block verification, zero borderline); only documents longer than
+    # k*8 bytes fall back to the bottom-k sketch + borderline confirm
+    "sketch_k": 256,
+    "sketch_eps": 0.10,  # ≈3σ at k=256, t=0.5: the exact-confirm band
     "null_captions": "skip",  # "skip" | "cluster" (reference "na" semantics)
     # image path. Recall contract (pigeonhole): band blocking GUARANTEES a
     # collision only for pairs with Hamming <= phash_bands - 1, so
@@ -241,22 +244,31 @@ def caption_sketch_verify_kernel(
       (stderr ≈ sqrt(t(1-t)/k); eps ≈ 3σ keeps wrong direct decisions
       below ~0.1%).
 
-    Returns (accept_mask, borderline_mask)."""
+    Returns (accept_mask, borderline_mask).
+
+    Rows and candidate pairs recur across band regions of the sorted block
+    (up to b times each), so gram sets AND pair decisions are cached by
+    row id — each distinct pair is evaluated once per block."""
     col = batch["csk"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     sketches = col.to_pylist()
-    # pos -> (is_exact, sorted gram hashes, total unique grams) | None
+    if RID in batch.column_names:
+        rid_col = batch[RID].to_numpy(zero_copy_only=False)
+    else:  # driver cross-block summary table: positions are already unique
+        rid_col = np.arange(batch.num_rows, dtype=np.int64)
+    # rid -> (is_exact, sorted gram hashes, total unique grams) | None
     cache: dict[int, tuple[bool, np.ndarray, int] | None] = {}
     HIGH = np.uint64(1 << 63)
 
     def s_of(pos: int):
-        ent = cache.get(pos, False)
+        rid = int(rid_col[pos])
+        ent = cache.get(rid, False)
         if ent is not False:
             return ent
         v = sketches[pos]
         if v is None:
-            cache[pos] = None
+            cache[rid] = None
             return None
         w = np.asarray(v, dtype=np.uint64)
         head = w[0]
@@ -266,38 +278,46 @@ def caption_sketch_verify_kernel(
             raw = w[1:].tobytes()[: int(head)]
             g = np.unique(sx.rolling_gram_hashes(raw, ngram))
             ent = (True, g, len(g))
-        cache[pos] = ent
+        cache[rid] = ent
         return ent
 
     accept = np.zeros(len(sp), dtype=bool)
     borderline = np.zeros(len(sp), dtype=bool)
+    decided: dict[tuple[int, int], tuple[bool, bool]] = {}
     for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+        ra, rb = int(rid_col[a]), int(rid_col[b])
+        key = (ra, rb) if ra < rb else (rb, ra)
+        prev = decided.get(key)
+        if prev is not None:
+            accept[i], borderline[i] = prev
+            continue
         ea, eb = s_of(a), s_of(b)
         if ea is None or eb is None:
             accept[i] = ea is None and eb is None and cluster_nulls
+            decided[key] = (bool(accept[i]), False)
             continue
         exact_a, ga, na = ea
         exact_b, gb, nb = eb
         if not na and not nb:
             accept[i] = True
-            continue
-        if exact_a and exact_b:
+        elif exact_a and exact_b:
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
             union = na + nb - inter
             accept[i] = bool(union) and inter / union > tmin
-            continue
         # exact upper bound from set sizes: J <= min/max
-        if min(na, nb) <= tmin * max(na, nb):
-            continue  # reject — cannot reach the threshold
-        union = np.union1d(ga, gb)
-        kk = min(k, len(union))
-        bottom = union[:kk]
-        inter = np.intersect1d(ga, gb, assume_unique=True)
-        est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
-        if est > tmin + eps:
-            accept[i] = True
-        elif est > tmin - eps:
-            borderline[i] = True
+        elif min(na, nb) <= tmin * max(na, nb):
+            pass  # reject — cannot reach the threshold
+        else:
+            union = np.union1d(ga, gb)
+            kk = min(k, len(union))
+            bottom = union[:kk]
+            inter = np.intersect1d(ga, gb, assume_unique=True)
+            est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
+            if est > tmin + eps:
+                accept[i] = True
+            elif est > tmin - eps:
+                borderline[i] = True
+        decided[key] = (bool(accept[i]), bool(borderline[i]))
     return accept, borderline
 
 

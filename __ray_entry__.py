@@ -204,6 +204,67 @@ def _isin_documents(sf_dir: str):
     return out.select_columns(["doc_id", "canonical_id"])
 
 
+def _fuzzy_dedup_documents(sf_dir: str):
+    """fuzzy (Indel ratio, strict > 95) over the 20-value ``source``
+    column: every cross-value score is <= 89, so the expected clusters are
+    exactly the identical-value groups — SQL-checkable while still running
+    the real all-pairs fuzzy kernel end-to-end."""
+    import liken_ray as lk
+
+    ds = _docs(sf_dir)
+    out = (
+        lk.dedupe(ds)
+        .apply({"source": (lk.fuzzy(threshold=0.95),)})
+        .canonicalize(id="doc_id")
+        .collect()
+    )
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
+def _jaccard_dedup_documents(sf_dir: str):
+    """Row-set jaccard (strict > 0.99) over the compound (lang, source)
+    columns: 2-element sets match only when identical, so clusters are the
+    (lang, source) groups."""
+    import liken_ray as lk
+
+    ds = _docs(sf_dir)
+    out = (
+        lk.dedupe(ds)
+        .apply({("lang", "source"): (lk.jaccard(threshold=0.99),)})
+        .canonicalize(id="doc_id")
+        .collect()
+    )
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
+def _cosine_dedup_documents(sf_dir: str):
+    """Row-vector cosine (strict > 0.95) over derived orthogonal indicator
+    columns (is_en, 1-is_en): cosine is 1 within a group and 0 across, so
+    the clusters are exactly {en} vs {rest}."""
+    import liken_ray as lk
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_en = pc.equal(batch["lang"], "en").cast(pa.float64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "x": is_en,
+                "y": pc.subtract(pa.scalar(1.0), is_en),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(derive, batch_format="pyarrow")
+    out = (
+        lk.dedupe(ds)
+        .apply({("x", "y"): (lk.cosine(threshold=0.95),)})
+        .canonicalize(id="doc_id")
+        .collect()
+    )
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
 def _canonicals_n2_documents(sf_dir: str):
     """Cluster sizes with the reference's n>=2 default (real duplicate
     groups only; clustered on ``lang`` — the documents table has no exact
@@ -374,6 +435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isna_documents": _isna_documents,
         "notna_documents": _notna_documents,
         "isin_documents": _isin_documents,
+        "fuzzy_dedup_documents": _fuzzy_dedup_documents,
+        "jaccard_dedup_documents": _jaccard_dedup_documents,
+        "cosine_dedup_documents": _cosine_dedup_documents,
         "canonicals_n2_documents": _canonicals_n2_documents,
         "token_count_documents": _token_count_documents,
         "quality_documents": _quality_documents,
@@ -450,6 +514,19 @@ def oracle_sql() -> dict[str, str]:
         "canonicals_n2_documents": (
             "SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS cnt FROM documents "
             "GROUP BY lang HAVING COUNT(*) >= 2"
+        ),
+        "fuzzy_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM documents"
+        ),
+        "jaccard_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER ("
+            "PARTITION BY LEAST(lang, source), GREATEST(lang, source)"
+            ") AS canonical_id FROM documents"
+        ),
+        "cosine_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY (lang = 'en')) "
+            "AS canonical_id FROM documents"
         ),
         "token_count_documents": (
             "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "

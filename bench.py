@@ -163,19 +163,31 @@ def main() -> None:
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
         os.environ["GRAFT_BENCH_ONLY"] = "flagship"
 
-        def median_time(cpus: int) -> tuple[float, list[float]]:
-            runs = [_run_child(cpus, sf_dir, pairs_rows) for _ in range(reps)]
-            times = sorted(r["queries"]["flagship_pairs"] for r in runs)
-            return times[len(times) // 2], times
+        # INTERLEAVED reps (low, high, 32, low, high, 32, ...): external
+        # tenant load drifts over minutes, so grouping all reps of one
+        # configuration together would bias whichever config ran during
+        # the quiet window
+        configs = [low_cpus, high_cpus] + ([] if high_cpus == 32 else [32])
+        times: dict[int, list[float]] = {c: [] for c in configs}
+        for _ in range(reps):
+            for c in configs:
+                r = _run_child(c, sf_dir, pairs_rows)
+                times[c].append(r["queries"]["flagship_pairs"])
 
-        t_low, low_times = median_time(low_cpus)
-        t_high, high_times = median_time(high_cpus)
+        def med(c: int) -> float:
+            ts = sorted(times[c])
+            return ts[len(ts) // 2]
+
+        t_low, low_times = med(low_cpus), times[low_cpus]
+        t_high, high_times = med(high_cpus), times[high_cpus]
         efficiency = round((t_low / t_high) / (high_cpus / low_cpus), 3)
 
         # secondary: 8->32 under SMT/tenant contention (physical ceiling
         # ~0.74 on this box — see BASELINE.md)
-        t8, times8 = (t_high, high_times) if high_cpus == 8 else median_time(8)
-        t32, times32 = median_time(32)
+        t8 = t_high if high_cpus == 8 else med(8) if 8 in times else t_high
+        times8 = times.get(8, high_times)
+        t32 = med(32) if 32 in times else t_high
+        times32 = times.get(32, high_times)
         efficiency_8_32 = round((t8 / t32) / 4.0, 3)
 
         print(

@@ -202,6 +202,12 @@ def bucket_edges(
     """
     payload_cols = payload_cols or []
     keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
+    # materialize before the sort: the streaming executor reserves a large
+    # resource share for the downstream all-to-all, starving the (CPU-
+    # heavy) keying stage of cores — the sort is a barrier anyway, so
+    # running the map at full width first is strictly faster (measured
+    # ~1.7x on the caption path at 8 CPUs)
+    keyed = keyed.materialize()
     sorted_ds = keyed.sort(list(key_cols))
     scanned = sorted_ds.map_batches(
         _scan_block,

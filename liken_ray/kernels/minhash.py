@@ -76,6 +76,12 @@ def empty_signature(num_perm: int) -> np.ndarray:
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CACHE_MAX = 4_000_000
 
+# process-global signature cache: duplicate-heavy corpora sign the same
+# text many times (exact copies are the common near-dup case); ~1KB per
+# entry at num_perm=128, so the cap keeps it ~50MB per worker
+_SIG_CACHE: dict = {}
+_SIG_CACHE_MAX = 50_000
+
 
 def signature_from_token_hashes(
     token_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
@@ -122,23 +128,42 @@ def batch_signatures(
     out = np.empty((n, num_perm), dtype=np.uint64)
 
     cache = _TOKEN_HASH_CACHE
+    sig_key = (ngram, num_perm, seed)
+    sig_cache = _SIG_CACHE
 
-    def flush(rows: list[int], hash_lists: list[np.ndarray]) -> None:
+    p61 = _MERSENNE_PRIME
+    s61 = np.uint64(61)
+
+    def flush(rows: list[int], hash_lists: list[np.ndarray], row_texts: list[str]) -> None:
         if not rows:
             return
         h = np.concatenate(hash_lists)
         offsets = np.zeros(len(rows), dtype=np.int64)
         np.cumsum([len(x) for x in hash_lists[:-1]], out=offsets[1:])
         with np.errstate(**_ERR):
-            phv = h[:, None] * a[None, :]
+            # identical math to _mod_mersenne, fused in place: the (tokens,
+            # num_perm) temporaries dominate signature time otherwise
+            phv = np.multiply(h[:, None], a[None, :])
             phv += b[None, :]
-            phv = _mod_mersenne(phv)
+            tmp = phv >> s61
+            phv &= p61
+            phv += tmp
+            np.right_shift(phv, s61, out=tmp)
+            phv &= p61
+            phv += tmp
+            phv[phv >= p61] -= p61
         phv &= _MAX_HASH
         mins = np.minimum.reduceat(phv, offsets, axis=0)
         out[rows] = mins
+        if len(sig_cache) > _SIG_CACHE_MAX:
+            sig_cache.clear()
+        for ri, t in zip(rows, row_texts):
+            # copy: a view would pin the whole (n, num_perm) batch array
+            sig_cache[(sig_key, t)] = out[ri].copy()
 
     pend_rows: list[int] = []
     pend_hashes: list[np.ndarray] = []
+    pend_texts: list[str] = []
     pend_tokens = 0
     max_tokens = max(1, chunk_elems // num_perm)
 
@@ -148,6 +173,10 @@ def batch_signatures(
                 out[i] = _MAX_HASH
                 continue
             text = na_placeholder
+        hit = sig_cache.get((sig_key, text))
+        if hit is not None:
+            out[i] = hit
+            continue
         ntok = len(text) - ngram + 1
         if ntok <= 0:
             out[i] = _MAX_HASH
@@ -164,11 +193,12 @@ def batch_signatures(
         )
         pend_rows.append(i)
         pend_hashes.append(hashes)
+        pend_texts.append(text)
         pend_tokens += len(toks)
         if pend_tokens >= max_tokens:
-            flush(pend_rows, pend_hashes)
-            pend_rows, pend_hashes, pend_tokens = [], [], 0
-    flush(pend_rows, pend_hashes)
+            flush(pend_rows, pend_hashes, pend_texts)
+            pend_rows, pend_hashes, pend_texts, pend_tokens = [], [], [], 0
+    flush(pend_rows, pend_hashes, pend_texts)
     if len(cache) > _TOKEN_HASH_CACHE_MAX:
         cache.clear()
     return out

@@ -89,10 +89,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "substring_min_len": 64,
     "gram_len": 64,
     "gram_window": 16,
-    # execution
+    # execution. batch_size None = one task per block: the ingest
+    # repartition (≈4 blocks/CPU) then sets every stage's parallelism;
+    # bundling blocks up to a row target would halve the task count
     "bucket_pair_cap": 64,
     "edge_uf_limit": 5_000_000,
-    "batch_size": 4096,
+    "batch_size": None,
 }
 
 
@@ -102,7 +104,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
 
 
 def _ingest(source, cfg) -> ray.data.Dataset:
-    """(rid, image_id, caption, phash) with a global positional rid."""
+    """(rid, image_id, caption, phash) with a global positional rid.
+
+    The ingested table is repartitioned to ~4 blocks per CPU: downstream
+    map stages get one task per block, so leaving the input at its shard
+    count (often ≪ cores on a big node / cluster) would cap every stage's
+    parallelism at the shard count."""
     if isinstance(source, str):
         from liken_ray.io.read import safe_read_parquet
 
@@ -114,7 +121,16 @@ def _ingest(source, cfg) -> ray.data.Dataset:
     idx = ray.data.range(n).map_batches(
         lambda b: {RID: b["id"].astype(np.int64)}, batch_format="numpy"
     )
-    return ds.zip(idx).materialize()
+    num_blocks = cfg.get("num_blocks")
+    if not num_blocks:
+        # ~4 blocks per core: block structure tracks the cluster size (the
+        # per-partition suffix-array pass may emit a few more or fewer
+        # bonus edges at different partitionings; winnowing/caption/image
+        # recall is partition-invariant)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_blocks = max(32, min(4096, cpus * 4))
+    num_blocks = min(num_blocks, max(1, n // 500))  # keep blocks non-trivial
+    return ds.zip(idx).repartition(num_blocks).materialize()
 
 
 def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
@@ -229,8 +245,20 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
     return mask
 
 
+# process-global memo tables for the sketch kernel: long-lived Ray workers
+# see the same captions/pairs across many blocks and bands of one run.
+# Keys are scoped — (ngram, payload bytes) for gram sets (content-addressed,
+# safe across runs), (run_token, rid, rid) for pair decisions (rids are only
+# stable within a run) — and both tables are size-capped.
+_GRAM_SETS: dict = {}
+_GRAM_SETS_MAX = 200_000
+_PAIR_DECISIONS: dict = {}
+_PAIR_DECISIONS_MAX = 4_000_000
+
+
 def caption_sketch_verify_kernel(
-    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, k, ngram, tmin, eps, cluster_nulls
+    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, k, ngram, tmin, eps,
+    cluster_nulls, run_token: str = ""
 ):
     """Adaptive-payload Jaccard verification, three-way decision:
 
@@ -246,19 +274,23 @@ def caption_sketch_verify_kernel(
 
     Returns (accept_mask, borderline_mask).
 
-    Rows and candidate pairs recur across band regions of the sorted block
-    (up to b times each), so gram sets AND pair decisions are cached by
-    row id — each distinct pair is evaluated once per block."""
+    A candidate pair recurs in every band it collides in (up to b times,
+    scattered across blocks), and the same caption recurs in every bucket
+    its rows reach — so pair DECISIONS and gram SETS are memoized
+    process-globally (workers are long-lived across blocks), keyed by row
+    id pair / content hash. Identical payloads short-circuit to J=1."""
     col = batch["csk"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     sketches = col.to_pylist()
     if RID in batch.column_names:
         rid_col = batch[RID].to_numpy(zero_copy_only=False)
+        decided = _PAIR_DECISIONS
     else:  # driver cross-block summary table: positions are already unique
         rid_col = np.arange(batch.num_rows, dtype=np.int64)
-    # rid -> (is_exact, sorted gram hashes, total unique grams) | None
-    cache: dict[int, tuple[bool, np.ndarray, int] | None] = {}
+        decided = {}
+    # pos -> (is_exact, sorted gram hashes, total unique grams, words) | None
+    cache: dict[int, tuple | None] = {}
     HIGH = np.uint64(1 << 63)
 
     def s_of(pos: int):
@@ -271,22 +303,29 @@ def caption_sketch_verify_kernel(
             cache[rid] = None
             return None
         w = np.asarray(v, dtype=np.uint64)
+        wb = w.tobytes()
         head = w[0]
         if head & HIGH:  # truncated bottom-k sketch of a long caption
-            ent = (False, w[1:], int(head & ~HIGH))
-        else:  # byte-packed caption — reconstruct exact gram set
-            raw = w[1:].tobytes()[: int(head)]
-            g = np.unique(sx.rolling_gram_hashes(raw, ngram))
-            ent = (True, g, len(g))
+            ent = (False, w[1:], int(head & ~HIGH), wb)
+        else:  # byte-packed caption — reconstruct exact gram set (memoized
+            # by content across blocks/bands within this worker)
+            gkey = (ngram, wb)
+            g = _GRAM_SETS.get(gkey)
+            if g is None:
+                raw = w[1:].tobytes()[: int(head)]
+                g = np.unique(sx.rolling_gram_hashes(raw, ngram))
+                if len(_GRAM_SETS) > _GRAM_SETS_MAX:
+                    _GRAM_SETS.clear()
+                _GRAM_SETS[gkey] = g
+            ent = (True, g, len(g), wb)
         cache[rid] = ent
         return ent
 
     accept = np.zeros(len(sp), dtype=bool)
     borderline = np.zeros(len(sp), dtype=bool)
-    decided: dict[tuple[int, int], tuple[bool, bool]] = {}
     for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
         ra, rb = int(rid_col[a]), int(rid_col[b])
-        key = (ra, rb) if ra < rb else (rb, ra)
+        key = (run_token, ra, rb) if ra < rb else (run_token, rb, ra)
         prev = decided.get(key)
         if prev is not None:
             accept[i], borderline[i] = prev
@@ -296,9 +335,11 @@ def caption_sketch_verify_kernel(
             accept[i] = ea is None and eb is None and cluster_nulls
             decided[key] = (bool(accept[i]), False)
             continue
-        exact_a, ga, na = ea
-        exact_b, gb, nb = eb
-        if not na and not nb:
+        exact_a, ga, na, wa = ea
+        exact_b, gb, nb, wb_ = eb
+        if wa == wb_:  # identical payload → J = 1
+            accept[i] = tmin < 1.0
+        elif not na and not nb:
             accept[i] = True
         elif exact_a and exact_b:
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
@@ -317,6 +358,8 @@ def caption_sketch_verify_kernel(
                 accept[i] = True
             elif est > tmin - eps:
                 borderline[i] = True
+        if len(decided) > _PAIR_DECISIONS_MAX:
+            decided.clear()
         decided[key] = (bool(accept[i]), bool(borderline[i]))
     return accept, borderline
 
@@ -367,6 +410,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
                 tmin=cfg["verify_jaccard"],
                 eps=cfg["sketch_eps"],
                 cluster_nulls=cfg["null_captions"] == "cluster",
+                run_token=cfg.get("_run_token", ""),
             )
         else:
             payload = ["caption"]
@@ -594,6 +638,11 @@ def run_flagship(
     if config:
         cfg.update(config)
     ckpt = Checkpointer(run_dir, cfg)
+    # scope for the workers' process-global pair-decision memo: decisions
+    # are reusable iff (config, source) match — rids are positional
+    cfg["_run_token"] = ckpt.cfg_hash + "|" + (
+        source if isinstance(source, str) else f"ds{id(source)}"
+    )
     if cfg["max_hamming"] > cfg["phash_bands"] - 1:
         # pigeonhole: banding only guarantees a bucket collision for pairs
         # within Hamming <= phash_bands-1; beyond that, recall is

@@ -53,6 +53,9 @@ def test_entry_runs(ray_session):
         "isna_documents",
         "notna_documents",
         "isin_documents",
+        "fuzzy_dedup_documents",
+        "jaccard_dedup_documents",
+        "cosine_dedup_documents",
         "token_count_documents",
         "quality_documents",
         "ann_topk_embeddings",

@@ -148,3 +148,36 @@ def test_multimodal_feature_and_resize_stages(ray_session):
 
     with pytest.raises(NotImplementedError):
         frame_sample_stub(pairs.slice(0, 1))
+
+
+def test_ivf_persisted_index_reads_only_probed_cells(ray_session, tmp_path):
+    """build_ivf_index writes cell-partitioned parquet; the indexed query
+    reads only probed cell directories and still reaches good recall."""
+    import os
+
+    import ray.data
+
+    from liken_ray.extras.ann import (
+        build_ivf_index,
+        topk_cosine_bruteforce,
+        topk_cosine_ivf_indexed,
+    )
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((600, 16))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": np.arange(600, dtype=np.int64), "embedding": vecs.tolist()})
+    ).repartition(4)
+
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx_dir, n_cells=8)
+    assert meta["n_cells"] == 8
+    cell_dirs = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2  # corpus actually partitioned on disk
+
+    queries = vecs[:5]
+    exact = topk_cosine_bruteforce(ds, queries, list(range(5)), k=10).to_pylist()
+    approx = topk_cosine_ivf_indexed(idx_dir, queries, list(range(5)), k=10, n_probe=4).to_pylist()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.5

@@ -75,12 +75,15 @@ def run_bench(num_cpus: int, sf_dir: str, pairs_rows: int) -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
         return result
 
-    # headline: the flagship image+caption near-dup pipeline
+    # headline: the flagship image+caption near-dup pipeline.
+    # GRAFT_FORCE_DIST_CC=1 forces the distributed label-propagation
+    # connected-components path (edge_uf_limit=0) instead of driver UF.
     from liken_ray.pipelines.flagship import run_flagship
 
+    fl_cfg = {"edge_uf_limit": 0} if os.environ.get("GRAFT_FORCE_DIST_CC") else None
     flagship = timed(
         "flagship_pairs",
-        lambda: run_flagship(pairs_path),
+        lambda: run_flagship(pairs_path, fl_cfg),
     )
 
     # secondary: document + embedding pipelines on the driver testdata

@@ -385,6 +385,28 @@ def _ann_topk_embeddings_ivf(sf_dir: str):
     return topk_cosine_ivf(ds, queries, qids, k=10)
 
 
+def _ann_topk_embeddings_ivf_indexed(sf_dir: str):
+    """Persisted IVF index (cell-partitioned parquet under /tmp, cached per
+    sf_dir): queries read only their probed cell partitions. Rows-only
+    check (approximate by design)."""
+    import hashlib
+    import os
+
+    from liken_ray.extras.ann import build_ivf_index, topk_cosine_ivf_indexed
+
+    ds = _read(sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/liken_ray_ivf/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "ivf_meta.json")):
+        build_ivf_index(ds, idx_dir, n_cells=8)
+    qrows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 5), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    return topk_cosine_ivf_indexed(idx_dir, queries, qids, k=10, n_probe=4)
+
+
 def _tumbling_window_events(sf_dir: str):
     from liken_ray.extras.windows import tumbling_window_counts
 
@@ -450,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_dedup": _embedding_cosine_dedup,
         "ann_topk_embeddings": _ann_topk_embeddings,
         "ann_topk_embeddings_ivf": _ann_topk_embeddings_ivf,
+        "ann_topk_embeddings_ivf_indexed": _ann_topk_embeddings_ivf_indexed,
         "tumbling_window_events": _tumbling_window_events,
         "sessionize_events": _sessionize_events,
         "events_by_type": _events_by_type,

@@ -135,14 +135,20 @@ def _tag_encode(col: pa.Array) -> pa.Array:
 
 
 def _filter_candidates(ds, candidate_ref):
-    """Subset the dataset to candidate row ids (broadcast set, no shuffle)."""
+    """Subset the dataset to candidate row ids (broadcast sorted array,
+    vectorized searchsorted membership; no shuffle)."""
     if candidate_ref is None:
         return ds
 
     def fil(batch: pa.Table) -> pa.Table:
         cand = ray.get(candidate_ref)
-        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((r in cand for r in rid), dtype=bool, count=len(rid))
+        if not isinstance(cand, np.ndarray):
+            cand = np.sort(np.fromiter(cand, dtype=np.int64, count=len(cand)))
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(rid), dtype=bool)
+        if len(cand):
+            pos = np.clip(np.searchsorted(cand, rid), 0, len(cand) - 1)
+            mask = cand[pos] == rid
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(fil, batch_format="pyarrow")
@@ -461,7 +467,11 @@ def _step_components(ds, step, cfg) -> dict[Any, list[int]]:
         indices: set[int] | None = None  # None = full table
         comps: dict[Any, list[int]] = {}
         for unit in step:
-            cand_ref = ray.put(indices) if indices else None
+            cand_ref = (
+                ray.put(np.sort(np.fromiter(indices, dtype=np.int64, count=len(indices))))
+                if indices
+                else None
+            )
             if isinstance(unit.deduper, PredicateDeduper):
                 matched = matched_predicate(
                     ds, unit.columns, unit.deduper, unit.preprocessors, cand_ref
@@ -531,15 +541,50 @@ def _execute_partition_scope(ds, dedupers, columns, keep, drop_duplicates, drop_
 
 def drop_duplicates_ray(ds, keep: str):
     """Keep first/last row per canonical_id in row order — fully
-    distributed: groupby(canonical) keep min/max ROW_ID member."""
+    distributed and map_groups-free: ONE aggregate shuffle computes the
+    keeper row id per canonical group, then a hash left-semi join keeps
+    exactly those rows (no per-group Python, no driver-side keeper set —
+    canonical_id is table-cardinality at scale)."""
+    from ray.data.aggregate import Max, Min
 
-    def keep_one(group: pa.Table) -> pa.Table:
-        rid = group[ROW_ID].to_numpy(zero_copy_only=False)
-        pos = int(np.argmin(rid)) if keep == "first" else int(np.argmax(rid))
-        return group.slice(pos, 1)
+    agg = Min if keep == "first" else Max
+    keepers = (
+        ds.groupby(CANONICAL_ID)
+        .aggregate(agg(ROW_ID, alias_name="_keep_rid"))
+        .select_columns(["_keep_rid"])
+    )
+    # Arrow's hash join rejects null-typed non-key columns (all-null
+    # inputs); carry them as string through the join and restore after
+    null_cols = [
+        f.name for f in _arrow_schema(ds) if pa.types.is_null(f.type)
+    ]
+    left = ds
+    if null_cols:
+        def widen(batch: pa.Table) -> pa.Table:
+            for c in null_cols:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(i, c, batch[c].cast(pa.string()))
+            return batch
 
+        left = ds.map_batches(widen, batch_format="pyarrow")
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = left.join(
+        keepers,
+        "left_semi",
+        num_partitions=num_partitions,
+        on=(ROW_ID,),
+        right_on=("_keep_rid",),
+    )
+    if null_cols:
+        def narrow(batch: pa.Table) -> pa.Table:
+            for c in null_cols:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(i, c, pa.nulls(batch.num_rows, pa.null()))
+            return batch
+
+        joined = joined.map_batches(narrow, batch_format="pyarrow")
     # sort restores the reference's original-row-order output contract
-    return ds.groupby(CANONICAL_ID).map_groups(keep_one, batch_format="pyarrow").sort(ROW_ID)
+    return joined.sort(ROW_ID)
 
 
 def strip_internal(ds):

@@ -376,13 +376,20 @@ _popcount64 = ph.popcount64
 
 def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
     """Fetch {rid: value} for a candidate rid set via a broadcast-filter
-    map_batches (no shuffle; only matching rows leave the workers)."""
-    ref = ray.put(rids)
+    map_batches (no shuffle; only matching rows leave the workers). The
+    rid set is broadcast as a sorted array and applied with vectorized
+    searchsorted membership."""
+    want_arr = np.fromiter(rids, dtype=np.int64, count=len(rids))
+    want_arr.sort()
+    ref = ray.put(want_arr)
 
     def fil(batch: pa.Table) -> pa.Table:
         want = ray.get(ref)
-        rid = batch[RID].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((r in want for r in rid), dtype=bool, count=len(rid))
+        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(rid), dtype=bool)
+        if len(want):
+            pos = np.clip(np.searchsorted(want, rid), 0, len(want) - 1)
+            mask = want[pos] == rid
         return pa.table({RID: rid[mask], "v": batch[column].filter(pa.array(mask))})
 
     rows = ds.map_batches(fil, batch_format="pyarrow").take_all()

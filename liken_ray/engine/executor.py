@@ -598,30 +598,131 @@ def canonicals_counts_ray(ds, n: int = 2) -> dict[Any, int]:
     from ray.data.aggregate import Count
 
     counted = ds.groupby(CANONICAL_ID).aggregate(Count(alias_name="cnt"))
-    return {
-        r[CANONICAL_ID]: r["cnt"] for r in counted.take_all() if r["cnt"] >= n
-    }
+    # n-filter runs distributed; the driver pull is only qualifying groups
+    # (real duplicate clusters), not every distinct canonical
+    qualifying = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], n)), batch_format="pyarrow"
+    )
+    return {r[CANONICAL_ID]: r["cnt"] for r in qualifying.take_all()}
 
 
 def synthesize_ray(ds):
-    """Golden record per canonical id: first non-null per column in row
-    order — global groupby.map_groups (fixes the reference Ray backend's
-    per-batch-only synthesize, ``backends/ray/wrapper.py:130-137``)."""
+    """Golden record per canonical id: first non-null (and non-NaN, like
+    the local executor) per column in row order — fixes the reference Ray
+    backend's per-batch-only synthesize (``backends/ray/wrapper.py:130-137``).
+
+    Vectorized: ONE global sort by (canonical, row id), then a segmented
+    first-valid scan per sorted block (no per-group Python — canonical
+    cardinality is table-sized). Runs that may straddle block boundaries
+    (first/last run of each block, O(blocks) total) are merged on the
+    driver in row order; inner runs are final where computed."""
     has_rid = ROW_ID in ds.schema().names
+    if not has_rid:
+        return _synthesize_map_groups(ds)
+
+    out_names = [c for c in ds.schema().names if c != ROW_ID]
+    out_schema = _arrow_schema(ds)
+    sorted_ds = ds.sort([CANONICAL_ID, ROW_ID])
+
+    def block_synth(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            cols = {c: pa.array([], out_schema.field(c).type) for c in out_names}
+            cols["_edge"] = pa.array([], pa.bool_())
+            cols["_ord"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        canon = batch[CANONICAL_ID]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        vals = canon.to_numpy(zero_copy_only=False)
+        nullm = pc.fill_null(pc.is_null(canon, nan_is_null=True), True).to_numpy(
+            zero_copy_only=False
+        )
+        change = np.ones(n, dtype=bool)
+        # sorted input keeps nulls contiguous; vals-level != would split
+        # them (null → NaN in numpy, NaN != NaN)
+        change[1:] = (vals[1:] != vals[:-1]) & ~(nullm[1:] & nullm[:-1])
+        starts = np.flatnonzero(change)
+        nruns = len(starts)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx = np.arange(n, dtype=np.int64)
+        cols: dict[str, Any] = {}
+        for name in out_names:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if name == CANONICAL_ID:
+                cols[name] = canon.take(pa.array(starts, pa.int64()))
+                continue
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                nan_mask = pc.fill_null(pc.is_nan(col), False).to_numpy(
+                    zero_copy_only=False
+                )
+                valid = valid & ~nan_mask
+            idxs = np.where(valid, row_idx, n)
+            first = np.minimum.reduceat(idxs, starts)
+            has = first < n
+            take_idx = np.where(has, first, 0)
+            arr = col.take(pa.array(take_idx, pa.int64()))
+            if not has.all():
+                arr = pc.if_else(pa.array(has), arr, pa.scalar(None, type=col.type))
+            cols[name] = arr
+        edge = np.zeros(nruns, dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        cols["_edge"] = pa.array(edge)
+        cols["_ord"] = pa.array(rid[starts], pa.int64())
+        return pa.table(cols)
+
+    blocks = sorted_ds.map_batches(
+        block_synth, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    inner = blocks.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge", "_ord"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
+    ).take_all()
+    edge_rows.sort(key=lambda r: r["_ord"])
+    merged: dict[Any, dict] = {}
+    order: list[Any] = []
+    for r in edge_rows:
+        key = r[CANONICAL_ID]
+        cur = merged.get(key)
+        if cur is None:
+            merged[key] = {c: r[c] for c in out_names}
+            order.append(key)
+        else:
+            for c in out_names:
+                if cur[c] is None and r[c] is not None:
+                    cur[c] = r[c]
+    def stitched_col(c: str) -> pa.Array:
+        vals_list = [merged[k][c] for k in order]
+        try:
+            return pa.array(vals_list, type=out_schema.field(c).type)
+        except pa.ArrowInvalid:
+            # block schemas can be heterogeneous (an all-null column is
+            # null-typed in some blocks): infer from the merged values
+            return pa.array(vals_list)
+
+    stitched = pa.table({c: stitched_col(c) for c in out_names})
+    import ray.data
+
+    return inner.union(ray.data.from_arrow(stitched))
+
+
+def _synthesize_map_groups(ds):
+    """Fallback synthesize for inputs without a row id (order undefined)."""
 
     def first_non_null(group: pa.Table) -> pa.Table:
-        if has_rid:
-            order = pc.sort_indices(group[ROW_ID])
-            group = group.take(order)
         out = {}
         for name in group.column_names:
-            if name == ROW_ID:
-                continue
             col = group[name]
             valid = col.drop_null()
             if pa.types.is_floating(valid.type) and len(valid):
-                # match the local executor's `v == v` rule: float NaN (from
-                # pandas paths that keep NaN rather than null) is not a value
                 valid = valid.filter(pc.invert(pc.is_nan(valid)))
             out[name] = [valid[0].as_py()] if len(valid) else [None]
         return pa.table(

@@ -446,3 +446,76 @@ def test_synthesize_ray_skips_float_nan(ray_session):
     )
     row_a = out[out["k"] == "a"].iloc[0]
     assert row_a["x"] == 2.5  # NaN skipped, like the local executor
+
+
+# ---------------------------------------------------------------------------
+# vectorized quality_metrics: parity vs the straightforward python reference
+# ---------------------------------------------------------------------------
+
+
+def test_quality_metrics_vectorized_parity():
+    import re
+
+    from liken_ray.extras.text import quality_metrics
+    from liken_ray.kernels.preprocess import ENGLISH_STOPWORDS
+
+    ws = re.compile(r"\s+")
+    stop = set(ENGLISH_STOPWORDS)
+
+    def reference(t):
+        if not t:
+            return (0, 0, 0, 0, 0.0, 0.0)
+        words = [w for w in ws.split(t.strip()) if w]
+        d = sum(c.isdigit() for c in t)
+        p = sum(not c.isalnum() and not c.isspace() for c in t)
+        sr = sum(w.lower() in stop for w in words) / len(words) if words else 0.0
+        mwl = sum(len(w) for w in words) / len(words) if words else 0.0
+        return (len(t), len(words), d, p, sr, mwl)
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "the quick brown fox 42!",
+        "",
+        None,
+        "   ",
+        "¡Hola señor! ¿Qué tal? 123",
+        "中文文本 with mixed 字符 and the words",
+        "a " * 50,
+        "UPPER lower The THE tHe",
+        "tabs\tand\nnewlines  multiple   spaces",
+        "digits ٣٤٥ unicode",  # arabic-indic digits: isdigit() true
+    ] + ["".join(chr(rng.integers(32, 400)) for _ in range(rng.integers(0, 80))) for _ in range(30)]
+
+    out = quality_metrics(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    for i, t in enumerate(texts):
+        exp = reference(t)
+        got = (
+            out["char_count"][i].as_py(), out["word_count"][i].as_py(),
+            out["digit_count"][i].as_py(), out["punct_count"][i].as_py(),
+            out["stopword_ratio"][i].as_py(), out["mean_word_len"][i].as_py(),
+        )
+        assert got[:4] == exp[:4], (i, repr(t), got, exp)
+        assert abs(got[4] - exp[4]) < 1e-12, (i, repr(t))
+        assert abs(got[5] - exp[5]) < 1e-12, (i, repr(t))
+
+
+def test_fingerprint_and_simhash_vectorized_relations():
+    from liken_ray.extras.text import fingerprint, simhash64
+
+    tbl = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["Hello   World", "hello world", "hello worlds", None, ""],
+        }
+    )
+    fp = fingerprint(tbl)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+    assert fp[3] == 0 and fp[4] not in (0, fp[0])
+
+    base = "the quick brown fox jumps over the lazy dog many many times today"
+    sh = simhash64(
+        pa.table({"doc_id": [0, 1, 2], "text": [base, base.replace("quick", "quack"), None]})
+    )["simhash"].to_pylist()
+    h = [v & 0xFFFFFFFFFFFFFFFF for v in sh]
+    assert bin(h[0] ^ h[1]).count("1") <= 12
+    assert h[2] == 0

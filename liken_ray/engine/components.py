@@ -237,6 +237,9 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
         .materialize()
     )
 
+    import ray
+
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     prev_sum = None
     for _ in range(max_rounds):
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
@@ -244,48 +247,23 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
             break
         prev_sum = cur_sum
 
-        # join labels onto edge sources via a tagged union + groupby:
-        # rows (key=node) carrying either a label or a neighbor; per group,
-        # emit (neighbor, group_label) for every neighbor + (node, label).
-        lab_tagged = labels.map_batches(
+        # propagate labels along edges with a distributed hash join
+        # (no per-node Python): (a, b) ⋈ (node=a, label) → (b, label(a)),
+        # union the current assignment, take the per-node min
+        contrib = sym.join(
+            labels,
+            "inner",
+            num_partitions=num_partitions,
+            on=("a",),
+            right_on=("node",),
+        ).map_batches(
             lambda t: pa.table(
-                {
-                    "key": t["node"],
-                    "nbr": pa.nulls(t.num_rows, pa.int64()),
-                    "lab": t["label"],
-                }
+                {"node": t["b"].cast(pa.int64()), "label": t["label"]}
             ),
             batch_format="pyarrow",
         )
-        edge_tagged = sym.map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["a"],
-                    "nbr": t["b"].cast(pa.int64()),
-                    "lab": pa.nulls(t.num_rows, pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-
-        def propagate(group: pa.Table) -> pa.Table:
-            labs = group["lab"].to_numpy(zero_copy_only=False)
-            nbrs = group["nbr"].to_numpy(zero_copy_only=False)
-            keys = group["key"].to_numpy(zero_copy_only=False)
-            lab_vals = labs[~np.isnan(labs)] if labs.dtype.kind == "f" else labs[labs != None]  # noqa: E711
-            if len(lab_vals) == 0:
-                lab = int(keys[0])
-            else:
-                lab = int(np.min(lab_vals))
-            nbr_mask = ~np.isnan(nbrs) if nbrs.dtype.kind == "f" else nbrs != None  # noqa: E711
-            out_nodes = np.concatenate([nbrs[nbr_mask].astype(np.int64), keys[:1].astype(np.int64)])
-            out_labels = np.full(len(out_nodes), lab, dtype=np.int64)
-            return pa.table({"node": out_nodes, "label": out_labels})
-
         labels = (
-            lab_tagged.union(edge_tagged)
-            .groupby("key")
-            .map_groups(propagate, batch_format="pyarrow")
+            contrib.union(labels)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

@@ -26,24 +26,23 @@ from liken_ray.extras import text as tx
 
 def canonical_exact(ds, key_col: str = "text", id_col: str = "doc_id"):
     """(id, canonical_id) where canonical = min id per exact key value —
-    one groupby shuffle, labels emitted per group (no pair
-    materialization)."""
+    one aggregate shuffle (no per-group Python; key cardinality is
+    table-sized) + one distributed hash join of the labels back onto the
+    rows."""
+    from ray.data.aggregate import Min
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch[id_col], key_col: batch[key_col]})
 
     keyed = ds.map_batches(project, batch_format="pyarrow")
-
-    def per_group(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: ids,
-                "canonical_id": np.full(len(ids), ids.min(), dtype=np.int64),
-            }
-        )
-
-    return keyed.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+    mins = keyed.groupby(key_col).aggregate(Min(id_col, alias_name="canonical_id"))
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = keyed.join(
+        mins, "inner", num_partitions=num_partitions, on=(key_col,)
+    )
+    return joined.map_batches(
+        lambda t: t.select([id_col, "canonical_id"]), batch_format="pyarrow"
+    )
 
 
 def _edges_to_labels(edges: list[tuple[int, int]]) -> dict[int, int]:

@@ -28,6 +28,7 @@ from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 VerifyFn = Callable[[pa.Table, np.ndarray, np.ndarray], np.ndarray]
 
@@ -263,64 +264,170 @@ def bucket_edges(
     else:
         edge_list = []
 
-    extra_src: list[int] = []
-    extra_dst: list[int] = []
-    if summaries:
-        by_key: dict[int, list[dict]] = {}
-        for row in summaries:
-            by_key.setdefault(row["keyh"], []).append(row)
-        for rows in by_key.values():
-            rids_here = sorted({r["dst"] for r in rows})
-            if len(rids_here) < 2:
-                continue
-            rows = sorted(rows, key=lambda r: r["dst"])
-            seen = set()
-            uniq_rows = []
-            for r in rows:
-                if r["dst"] not in seen:
-                    seen.add(r["dst"])
-                    uniq_rows.append(r)
-            k = len(uniq_rows)
-            if 1 < pair_cap and k <= pair_cap:
-                cand = [(i, j) for i in range(k) for j in range(i + 1, k)]
-            else:
-                cand = [(0, j) for j in range(1, k)]
-                if verify_fn is not None:
-                    # star+chain, mirroring the in-block over-cap policy
-                    cand.extend((j, j + 1) for j in range(1, k - 1))
-            if verify_fn is None:
-                for i, j in cand:
-                    extra_src.append(uniq_rows[i]["dst"])
-                    extra_dst.append(uniq_rows[j]["dst"])
-            else:
-                # verify kernels consume only payload columns by position;
-                # explicit types (uint64 hashes overflow int64 inference)
-                tbl = pa.table(
-                    {
-                        c: pa.array([r[c] for r in uniq_rows], type=payload_types[c])
-                        for c in payload_cols
-                    }
-                )
-                sp = np.array([c[0] for c in cand], dtype=np.int64)
-                dp = np.array([c[1] for c in cand], dtype=np.int64)
-                res = verify_fn(tbl, sp, dp)
-                if isinstance(res, tuple):
-                    mask, borderline = res
-                    for (i, j), bl in zip(cand, borderline):
-                        if bl:
-                            borderline_pairs.append(
-                                (uniq_rows[i]["dst"], uniq_rows[j]["dst"])
-                            )
-                else:
-                    mask = res
-                for (i, j), ok in zip(cand, mask):
-                    if ok:
-                        extra_src.append(uniq_rows[i]["dst"])
-                        extra_dst.append(uniq_rows[j]["dst"])
-
+    extra_src, extra_dst = _resolve_summaries(
+        summaries, pair_cap, payload_cols, payload_types, verify_fn, borderline_pairs
+    )
     edge_list.extend(zip(extra_src, extra_dst))
     # dedupe with canonical orientation
     return list({(min(a, b), max(a, b)) for a, b in edge_list})
+
+
+def _resolve_summaries(
+    summaries: list[dict],
+    pair_cap: int,
+    payload_cols: list[str],
+    payload_types: dict,
+    verify_fn,
+    borderline_pairs: list,
+) -> tuple[list[int], list[int]]:
+    """Cross-block candidate pairs from the per-block boundary summaries —
+    O(blocks) driver work, shared by the list and Dataset edge paths."""
+    extra_src: list[int] = []
+    extra_dst: list[int] = []
+    if not summaries:
+        return extra_src, extra_dst
+    by_key: dict[int, list[dict]] = {}
+    for row in summaries:
+        by_key.setdefault(row["keyh"], []).append(row)
+    for rows in by_key.values():
+        rids_here = sorted({r["dst"] for r in rows})
+        if len(rids_here) < 2:
+            continue
+        rows = sorted(rows, key=lambda r: r["dst"])
+        seen = set()
+        uniq_rows = []
+        for r in rows:
+            if r["dst"] not in seen:
+                seen.add(r["dst"])
+                uniq_rows.append(r)
+        k = len(uniq_rows)
+        if 1 < pair_cap and k <= pair_cap:
+            cand = [(i, j) for i in range(k) for j in range(i + 1, k)]
+        else:
+            cand = [(0, j) for j in range(1, k)]
+            if verify_fn is not None:
+                # star+chain, mirroring the in-block over-cap policy
+                cand.extend((j, j + 1) for j in range(1, k - 1))
+        if verify_fn is None:
+            for i, j in cand:
+                extra_src.append(uniq_rows[i]["dst"])
+                extra_dst.append(uniq_rows[j]["dst"])
+        else:
+            # verify kernels consume only payload columns by position;
+            # explicit types (uint64 hashes overflow int64 inference)
+            tbl = pa.table(
+                {
+                    c: pa.array([r[c] for r in uniq_rows], type=payload_types[c])
+                    for c in payload_cols
+                }
+            )
+            sp = np.array([c[0] for c in cand], dtype=np.int64)
+            dp = np.array([c[1] for c in cand], dtype=np.int64)
+            res = verify_fn(tbl, sp, dp)
+            if isinstance(res, tuple):
+                mask, borderline = res
+                for (i, j), bl in zip(cand, borderline):
+                    if bl:
+                        borderline_pairs.append(
+                            (uniq_rows[i]["dst"], uniq_rows[j]["dst"])
+                        )
+            else:
+                mask = res
+            for (i, j), ok in zip(cand, mask):
+                if ok:
+                    extra_src.append(uniq_rows[i]["dst"])
+                    extra_dst.append(uniq_rows[j]["dst"])
+    return extra_src, extra_dst
+
+
+def bucket_edges_dataset(
+    ds,
+    key_cols: list[str],
+    rid_col: str,
+    pair_cap: int = 1,
+    payload_cols: list[str] | None = None,
+    verify_fn: VerifyFn | None = None,
+    stats: dict | None = None,
+):
+    """``bucket_edges`` with edges kept DISTRIBUTED: returns a Dataset of
+    deduplicated, canonically-oriented ``(src, dst)`` edges. The driver
+    pulls only the O(blocks) boundary summaries, telemetry and borderline
+    pairs — never the edge set — so the path stays memory-bounded when
+    edges outgrow the driver (the 10^12-row regime). Costs one extra
+    aggregate shuffle (the global cross-band edge dedupe) over the list
+    path."""
+    import ray.data
+
+    payload_cols = payload_cols or []
+    keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
+    keyed = keyed.materialize()  # see bucket_edges: full-width map first
+    scanned = keyed.sort(list(key_cols)).map_batches(
+        _scan_block,
+        fn_kwargs={
+            "key_cols": list(key_cols),
+            "rid_col": rid_col,
+            "cap": pair_cap,
+            "payload_cols": payload_cols,
+            "verify_fn": verify_fn,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    # driver-side: ONLY the non-edge rows (summaries, telemetry, borderline)
+    small_rows = scanned.map_batches(
+        lambda t: t.filter(
+            pc.or_(pc.not_equal(t["keyh"], pa.scalar(0, pa.uint64())),
+                   pc.equal(t["src"], -2))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    summaries: list[dict] = []
+    borderline_pairs: list[tuple[int, int]] = []
+    truncated_total = 0
+    _sch = scanned.schema()
+    _arrow_sch = getattr(_sch, "base_schema", _sch)
+    payload_types = {c: _arrow_sch.field(c).type for c in payload_cols}
+    for r in small_rows:
+        if r["src"] == -2:
+            truncated_total += int(r["dst"])
+        elif r["keyh"] == 1:
+            borderline_pairs.append((r["src"], r["dst"]))
+        else:
+            summaries.append(r)
+    extra_src, extra_dst = _resolve_summaries(
+        summaries, pair_cap, payload_cols, payload_types, verify_fn, borderline_pairs
+    )
+    if stats is not None:
+        stats["summary_truncated"] = truncated_total
+        stats["borderline_pairs"] = borderline_pairs
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["keyh"], pa.scalar(0, pa.uint64())),
+                       pc.not_equal(t["src"], -2))
+        t = t.filter(keep)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": np.minimum(src, dst), "dst": np.maximum(src, dst)}
+        )
+
+    edges_ds = scanned.map_batches(edge_rows, batch_format="pyarrow")
+    if extra_src:
+        lo = np.minimum(np.array(extra_src, dtype=np.int64), np.array(extra_dst, dtype=np.int64))
+        hi = np.maximum(np.array(extra_src, dtype=np.int64), np.array(extra_dst, dtype=np.int64))
+        edges_ds = edges_ds.union(
+            ray.data.from_arrow(pa.table({"src": lo, "dst": hi}))
+        )
+    # global dedupe of cross-band/cross-block duplicates: one aggregate
+    # shuffle over edge-sized data
+    from ray.data.aggregate import Count
+
+    return (
+        edges_ds.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    )
 
 
 def collect_edges(edges) -> list[tuple[int, int]]:

@@ -95,6 +95,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "bucket_pair_cap": 64,
     "edge_uf_limit": 5_000_000,
     "batch_size": None,
+    # edges_scope "driver": edge lists reduce to the driver (fast locally;
+    # bounded by dup-pair count). "dataset": edges stay a Dataset end to
+    # end — the driver sees only O(blocks) summaries, the global edge
+    # dedupe is an aggregate shuffle, and components run distributed; use
+    # at cluster scale where edges outgrow driver memory.
+    "edges_scope": "driver",
 }
 
 
@@ -396,6 +402,52 @@ def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
     return {r[RID]: r["v"] for r in rows}
 
 
+def _confirm_borderline(ds, cfg, stats, exclude: set | None = None):
+    """Exact char-ngram Jaccard decision over the sketch kernel's
+    borderline pairs: fetch captions for ONLY the involved rows
+    (O(borderline), not O(rows)), cache gram arrays per row, return the
+    accepted pairs as a (src, dst) table (or None)."""
+    borderline = {(min(a, b), max(a, b)) for a, b in stats.get("borderline_pairs", [])}
+    if exclude:
+        borderline -= exclude
+    if not borderline:
+        return None
+    need = {r for p in borderline for r in p}
+    caps = _broadcast_column(ds, need, "caption")
+    grams: dict[int, np.ndarray | None] = {}
+
+    def g_of(rid: int) -> np.ndarray | None:
+        g = grams.get(rid, False)
+        if g is False:
+            c = caps.get(rid)
+            g = None if c is None else np.unique(
+                sx.rolling_gram_hashes(c.encode("utf8"), cfg["ngram"])
+            )
+            grams[rid] = g
+        return g
+
+    srcs: list[int] = []
+    dsts: list[int] = []
+    for a, b in borderline:
+        ga, gb = g_of(a), g_of(b)
+        if ga is None or gb is None:
+            ok = ga is None and gb is None and cfg["null_captions"] == "cluster"
+        elif not len(ga) and not len(gb):
+            ok = True
+        else:
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            ok = bool(union) and inter / union > cfg["verify_jaccard"]
+        if ok:
+            srcs.append(a)
+            dsts.append(b)
+    if not srcs:
+        return None
+    return pa.table(
+        {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
+    )
+
+
 def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     import functools
 
@@ -428,6 +480,31 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
                 cluster_nulls=cfg["null_captions"] == "cluster",
             )
     stats: dict[str, Any] = {}
+    if cfg["edges_scope"] == "dataset":
+        from liken_ray.engine.blocking import bucket_edges_dataset
+
+        edges_ds = bucket_edges_dataset(
+            banded,
+            ["band", "key"],
+            RID,
+            pair_cap=cfg["bucket_pair_cap"],
+            payload_cols=payload,
+            verify_fn=verify_fn,
+            stats=stats,
+        )
+        confirmed_tbl = _confirm_borderline(ds, cfg, stats)
+        if confirmed_tbl is not None:
+            edges_ds = edges_ds.union(ray.data.from_arrow(confirmed_tbl))
+        edges_ds = edges_ds.materialize()
+        ckpt.record(
+            "caption_edges",
+            verified_edges=edges_ds.count(),
+            payload=cfg["verify_payload"] if cfg["caption_verify"] else "none",
+            summary_truncated=stats.get("summary_truncated", 0),
+            borderline_pairs=len(stats.get("borderline_pairs", [])),
+            scope="dataset",
+        )
+        return edges_ds
     edges = bucket_edges(
         banded,
         ["band", "key"],
@@ -439,41 +516,18 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     )
     out = collect_edges(edges)
 
-    # exact confirmation of the sketch uncertainty band: fetch the captions
-    # of ONLY the borderline pairs' rows (O(borderline), not O(rows)) and
-    # apply the exact char-ngram Jaccard decision. Pairs collide in up to b
-    # bands — dedupe before confirming, and cache gram arrays per row.
-    borderline = {(min(a, b), max(a, b)) for a, b in stats.get("borderline_pairs", [])}
-    borderline -= set(out)
+    # exact confirmation of the sketch uncertainty band (see
+    # _confirm_borderline); pairs collide in up to b bands — dedupe first
+    confirmed_tbl = _confirm_borderline(ds, cfg, stats, exclude=set(out))
     confirmed = 0
-    if borderline:
-        need = {r for p in borderline for r in p}
-        caps = _broadcast_column(ds, need, "caption")
-        grams: dict[int, np.ndarray | None] = {}
-
-        def g_of(rid: int) -> np.ndarray | None:
-            g = grams.get(rid, False)
-            if g is False:
-                c = caps.get(rid)
-                g = None if c is None else np.unique(
-                    sx.rolling_gram_hashes(c.encode("utf8"), cfg["ngram"])
-                )
-                grams[rid] = g
-            return g
-
-        for a, b in borderline:
-            ga, gb = g_of(a), g_of(b)
-            if ga is None or gb is None:
-                ok = ga is None and gb is None and cfg["null_captions"] == "cluster"
-            elif not len(ga) and not len(gb):
-                ok = True
-            else:
-                inter = len(np.intersect1d(ga, gb, assume_unique=True))
-                union = len(ga) + len(gb) - inter
-                ok = bool(union) and inter / union > cfg["verify_jaccard"]
-            if ok:
-                out.append((a, b))
-                confirmed += 1
+    if confirmed_tbl is not None:
+        confirmed = confirmed_tbl.num_rows
+        out.extend(
+            zip(
+                confirmed_tbl["src"].to_pylist(),
+                confirmed_tbl["dst"].to_pylist(),
+            )
+        )
 
     ckpt.record(
         "caption_edges",
@@ -487,7 +541,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
             else None
         ),
         summary_truncated=stats.get("summary_truncated", 0),
-        borderline_pairs=len(borderline),
+        borderline_pairs=len(stats.get("borderline_pairs", [])),
         borderline_confirmed=confirmed,
     )
     return out
@@ -518,6 +572,28 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         batch_size=cfg["batch_size"],
     )
     stats: dict[str, Any] = {}
+    if cfg["edges_scope"] == "dataset":
+        from liken_ray.engine.blocking import bucket_edges_dataset
+
+        edges_ds = bucket_edges_dataset(
+            banded,
+            ["band", "key"],
+            RID,
+            pair_cap=cfg["bucket_pair_cap"],
+            payload_cols=["phash"],
+            verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
+            stats=stats,
+        ).materialize()
+        ckpt.record(
+            "image_edges",
+            hamming_verified=edges_ds.count(),
+            summary_truncated=stats.get("summary_truncated", 0),
+            scope="dataset",
+        )
+        # PSNR confirmation stays a driver pass over candidate rows; in
+        # dataset scope the edge list is assumed driver-oversized, so PSNR
+        # (default off) is not applied here
+        return edges_ds
     edges = bucket_edges(
         banded,
         ["band", "key"],
@@ -590,18 +666,11 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
         )
 
     fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=cfg["batch_size"])
-    # a shared winnowing fingerprint IS a shared >= gram_len-byte substring
-    # (the fingerprint is the rolling hash of an actual L-gram present in
-    # both documents; collision risk ~2^-64 per gram pair — switch to a
-    # 128-bit gram hash beyond ~10^10 docs). Star edges, no payload carry.
-    # Winnowing guarantees recall for shared runs >= gram_len + window - 1
-    # bytes — including ACROSS partitions.
-    edges = set(collect_edges(bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)))
 
     # per-partition suffix-array pass (Lee et al. 2021-style): exact
     # duplicate-substring detection at the tighter ``substring_min_len``
-    # within each partition; the winnowing stage above is the
-    # cross-partition blocking for this stage
+    # within each partition; the winnowing stage is the cross-partition
+    # blocking for this stage
     sub_min = cfg["substring_min_len"]
 
     def sa_block(batch: pa.Table) -> pa.Table:
@@ -618,6 +687,30 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
             }
         )
 
+    # a shared winnowing fingerprint IS a shared >= gram_len-byte substring
+    # (the fingerprint is the rolling hash of an actual L-gram present in
+    # both documents; collision risk ~2^-64 per gram pair — switch to a
+    # 128-bit gram hash beyond ~10^10 docs). Star edges, no payload carry.
+    # Winnowing guarantees recall for shared runs >= gram_len + window - 1
+    # bytes — including ACROSS partitions.
+    if cfg["edges_scope"] == "dataset":
+        from liken_ray.engine.blocking import bucket_edges_dataset
+
+        fp_edges = bucket_edges_dataset(fp_ds, ["fp"], RID, pair_cap=1)
+        sa_edges_ds = ds.map_batches(sa_block, batch_format="pyarrow", batch_size=None)
+
+        def orient(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"src": np.minimum(src, dst), "dst": np.maximum(src, dst)})
+
+        out_ds = fp_edges.union(
+            sa_edges_ds.map_batches(orient, batch_format="pyarrow")
+        ).materialize()
+        ckpt.record("substring_edges", substring_edges=out_ds.count(), scope="dataset")
+        return out_ds
+
+    edges = set(collect_edges(bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)))
     sa_edges = ds.map_batches(sa_block, batch_format="pyarrow", batch_size=None)
     edges.update(collect_edges(sa_edges))
     out = [(min(a, b), max(a, b)) for a, b in edges]
@@ -672,21 +765,35 @@ def run_flagship(
     def edges_stage(name, fn, *args):
         def compute(stage_dir):
             edges = fn(*args)
-            table = pa.table(
-                {
-                    "src": pa.array([e[0] for e in edges], pa.int64()),
-                    "dst": pa.array([e[1] for e in edges], pa.int64()),
-                }
-            )
+            if isinstance(edges, list):
+                edges_ds = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "src": pa.array([e[0] for e in edges], pa.int64()),
+                            "dst": pa.array([e[1] for e in edges], pa.int64()),
+                        }
+                    )
+                )
+            else:  # dataset scope: edges never touched the driver
+                edges_ds = edges
             if stage_dir is not None:
                 import os
 
-                import pyarrow.parquet as pq
-
                 data_dir = os.path.join(stage_dir, "data")
                 os.makedirs(data_dir, exist_ok=True)
-                pq.write_table(table, os.path.join(data_dir, "edges.parquet"))
-            return ray.data.from_arrow(table)
+                edges_ds.write_parquet(data_dir)
+                if not os.listdir(data_dir):  # empty edge set wrote no files
+                    import pyarrow.parquet as pq
+
+                    pq.write_table(
+                        pa.table({"src": pa.array([], pa.int64()),
+                                  "dst": pa.array([], pa.int64())}),
+                        os.path.join(data_dir, "edges.parquet"),
+                    )
+                from liken_ray.io.read import safe_read_parquet
+
+                return safe_read_parquet(data_dir)
+            return edges_ds
 
         return ckpt.stage(name, compute, inputs=["ingest"])
 

@@ -519,3 +519,24 @@ def test_fingerprint_and_simhash_vectorized_relations():
     h = [v & 0xFFFFFFFFFFFFFFFF for v in sh]
     assert bin(h[0] ^ h[1]).count("1") <= 12
     assert h[2] == 0
+
+
+def test_flagship_dataset_edges_scope_matches_driver(ray_session, tmp_path):
+    """edges_scope='dataset' keeps edges distributed end to end (driver
+    sees only boundary summaries) and, with the distributed components
+    path forced, must produce the same clusters as the driver path."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=31, shards=3)
+    src = os.path.join(out, "pairs")
+    a = run_flagship(src)["assignments"].take_all()
+    res_b = run_flagship(src, {"edges_scope": "dataset", "edge_uf_limit": 0})
+    b = res_b["assignments"].take_all()
+    am = {r["image_id"]: r["cluster_id"] for r in a}
+    bm = {r["image_id"]: r["cluster_id"] for r in b}
+    assert am == bm
+    assert res_b["metrics"]["stages"]["caption_edges"].get("scope") == "dataset"

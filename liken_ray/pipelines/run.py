@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-hamming", type=int, default=None)
     p.add_argument("--psnr-verify", action="store_true")
     p.add_argument("--null-captions", choices=["skip", "cluster"], default=None)
+    p.add_argument(
+        "--edges-scope", choices=["driver", "dataset"], default=None,
+        help="'dataset' keeps edge sets distributed end to end (use when "
+        "edges outgrow driver memory); default 'driver'",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count")
     args = p.parse_args(argv)
 
@@ -60,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
                 "num_perm": args.num_perm,
                 "max_hamming": args.max_hamming,
                 "null_captions": args.null_captions,
+                "edges_scope": args.edges_scope,
             }.items()
             if v is not None
         }

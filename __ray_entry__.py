@@ -97,12 +97,11 @@ def _drop_duplicates_documents(sf_dir: str):
     ref = ray.put(keep_ids)
 
     def semi_join(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
         keep = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(keep, ids)
-        pos_c = np.clip(pos, 0, max(0, len(keep) - 1))
-        mask = len(keep) > 0 and keep[pos_c] == ids
-        return batch.filter(pa.array(mask if isinstance(mask, np.ndarray) else np.zeros(len(ids), bool)))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sorted_membership_mask(ids, keep)))
 
     return ds.map_batches(semi_join, batch_format="pyarrow")
 

@@ -186,12 +186,22 @@ def main() -> None:
         efficiency = round((t_low / t_high) / (high_cpus / low_cpus), 3)
 
         # secondary: 8->32 under SMT/tenant contention (physical ceiling
-        # ~0.74 on this box — see BASELINE.md)
-        t8 = t_high if high_cpus == 8 else med(8) if 8 in times else t_high
-        times8 = times.get(8, high_times)
-        t32 = med(32) if 32 in times else t_high
-        times32 = times.get(32, high_times)
-        efficiency_8_32 = round((t8 / t32) / 4.0, 3)
+        # ~0.74 on this box — see BASELINE.md). Only emitted when both
+        # configurations actually ran — never fabricated from other sizes.
+        q = {
+            f"flagship_cpus{low_cpus}_sec": t_low,
+            f"flagship_cpus{high_cpus}_sec": t_high,
+        }
+        rep_out = {
+            f"cpus{low_cpus}": low_times,
+            f"cpus{high_cpus}": high_times,
+        }
+        if 8 in times and 32 in times:
+            q["efficiency_8_32"] = round((med(8) / med(32)) / 4.0, 3)
+            q.setdefault("flagship_cpus8_sec", med(8))
+            q.setdefault("flagship_cpus32_sec", med(32))
+            rep_out.setdefault("cpus8", times[8])
+            rep_out.setdefault("cpus32", times[32])
 
         print(
             json.dumps(
@@ -199,19 +209,8 @@ def main() -> None:
                     "metric": "flagship_scaling_efficiency",
                     "value": efficiency,
                     "unit": "ratio",
-                    "queries": {
-                        f"flagship_cpus{low_cpus}_sec": t_low,
-                        f"flagship_cpus{high_cpus}_sec": t_high,
-                        "flagship_cpus8_sec": t8,
-                        "flagship_cpus32_sec": t32,
-                        "efficiency_8_32": efficiency_8_32,
-                    },
-                    "rep_times": {
-                        f"cpus{low_cpus}": low_times,
-                        f"cpus{high_cpus}": high_times,
-                        "cpus8": times8,
-                        "cpus32": times32,
-                    },
+                    "queries": q,
+                    "rep_times": rep_out,
                     "aggregation": f"median of {reps} reps per configuration",
                     "sf": _sf_from_dir(sf_dir),
                     "num_cpus": high_cpus,

@@ -70,6 +70,18 @@ def _emit_pairs(sr: np.ndarray, starts, lens, cap: int, chain: bool = False):
         if nonfirst.any():
             src_parts.append(firsts[nonfirst])
             dst_parts.append(np.flatnonzero(nonfirst))
+            if chain:
+                # consecutive pairs too: with a verify kernel, star-only
+                # connectivity hinges on the anchor row verifying
+                pos = np.arange(len(sr), dtype=np.int64)
+                prev_same = np.zeros(len(sr), dtype=bool)
+                prev_same[1:] = ~change[1:]
+                chain_dst = pos[prev_same & nonfirst]
+                chain_src = chain_dst - 1
+                keep = chain_src != firsts[chain_dst]  # star already has it
+                if keep.any():
+                    src_parts.append(chain_src[keep])
+                    dst_parts.append(chain_dst[keep])
     else:
         for ri in np.flatnonzero(lens >= 2):
             s = int(starts[ri])

@@ -130,6 +130,16 @@ def apply_label_arrays(
     return out
 
 
+def sorted_membership_mask(values: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Vectorized ``value in sorted_keys`` per element (searchsorted; the
+    broadcast-filter idiom every candidate/keeper subset uses)."""
+    values = values.astype(np.int64, copy=False)
+    if not len(sorted_keys):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_keys, values), 0, len(sorted_keys) - 1)
+    return sorted_keys[pos] == values
+
+
 def labelled_dataset(ds, labels: dict[int, int], id_col: str):
     """(id_col, canonical_id) Dataset from a driver-side label map, applied
     distributed via the broadcast sorted-array join."""

@@ -141,15 +141,13 @@ def _filter_candidates(ds, candidate_ref):
         return ds
 
     def fil(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
         cand = ray.get(candidate_ref)
         if not isinstance(cand, np.ndarray):
             cand = np.sort(np.fromiter(cand, dtype=np.int64, count=len(cand)))
-        rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.zeros(len(rid), dtype=bool)
-        if len(cand):
-            pos = np.clip(np.searchsorted(cand, rid), 0, len(cand) - 1)
-            mask = cand[pos] == rid
-        return batch.filter(pa.array(mask))
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(sorted_membership_mask(rid, cand)))
 
     return ds.map_batches(fil, batch_format="pyarrow")
 
@@ -373,12 +371,11 @@ def _apply_components(ds, components: dict[Any, list[int]], keep: str):
     reps_ref = ray.put(reps)
 
     def collect_rep_values(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
         r = ray.get(reps_ref)
         rid = batch[ROW_ID].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.zeros(len(rid), dtype=bool)
-        if len(r):
-            pos = np.clip(np.searchsorted(r, rid), 0, len(r) - 1)
-            mask = r[pos] == rid
+        mask = sorted_membership_mask(rid, r)
         return pa.table({ROW_ID: rid[mask], "v": batch[CANONICAL_ID].filter(pa.array(mask))})
 
     rep_rows = ds.map_batches(collect_rep_values, batch_format="pyarrow").take_all()
@@ -548,16 +545,31 @@ def drop_duplicates_ray(ds, keep: str):
     from ray.data.aggregate import Max, Min
 
     agg = Min if keep == "first" else Max
+    schema = _arrow_schema(ds)
+    # Arrow's hash join rejects nested and dictionary non-key columns —
+    # for those schemas keep the (slower) per-group path rather than crash
+    if any(
+        pa.types.is_nested(f.type) or pa.types.is_dictionary(f.type)
+        for f in schema
+    ):
+        def keep_one(group: pa.Table) -> pa.Table:
+            rid = group[ROW_ID].to_numpy(zero_copy_only=False)
+            pos = int(np.argmin(rid)) if keep == "first" else int(np.argmax(rid))
+            return group.slice(pos, 1)
+
+        return (
+            ds.groupby(CANONICAL_ID)
+            .map_groups(keep_one, batch_format="pyarrow")
+            .sort(ROW_ID)
+        )
     keepers = (
         ds.groupby(CANONICAL_ID)
         .aggregate(agg(ROW_ID, alias_name="_keep_rid"))
         .select_columns(["_keep_rid"])
     )
-    # Arrow's hash join rejects null-typed non-key columns (all-null
-    # inputs); carry them as string through the join and restore after
-    null_cols = [
-        f.name for f in _arrow_schema(ds) if pa.types.is_null(f.type)
-    ]
+    # all-null (null-typed) columns are likewise rejected; carry them as
+    # string through the join and restore after
+    null_cols = [f.name for f in schema if pa.types.is_null(f.type)]
     left = ds
     if null_cols:
         def widen(batch: pa.Table) -> pa.Table:

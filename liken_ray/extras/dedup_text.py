@@ -29,20 +29,42 @@ def canonical_exact(ds, key_col: str = "text", id_col: str = "doc_id"):
     one aggregate shuffle (no per-group Python; key cardinality is
     table-sized) + one distributed hash join of the labels back onto the
     rows."""
+    import pyarrow.compute as pc
+
+    import ray.data
     from ray.data.aggregate import Min
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch[id_col], key_col: batch[key_col]})
 
-    keyed = ds.map_batches(project, batch_format="pyarrow")
-    mins = keyed.groupby(key_col).aggregate(Min(id_col, alias_name="canonical_id"))
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    joined = keyed.join(
-        mins, "inner", num_partitions=num_partitions, on=(key_col,)
+    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
+    # hash joins never match null keys — handle the null-key group (one
+    # cluster, like groupby's null bucket) separately
+    nn = keyed.map_batches(
+        lambda t: t.filter(pc.is_valid(t[key_col])), batch_format="pyarrow"
     )
-    return joined.map_batches(
+    null_ids = keyed.map_batches(
+        lambda t: t.filter(pc.is_null(t[key_col])).select([id_col]),
+        batch_format="pyarrow",
+    )
+    mins = nn.groupby(key_col).aggregate(Min(id_col, alias_name="canonical_id"))
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = nn.join(
+        mins, "inner", num_partitions=num_partitions, on=(key_col,)
+    ).map_batches(
         lambda t: t.select([id_col, "canonical_id"]), batch_format="pyarrow"
     )
+    n_null = null_ids.count()
+    if n_null == 0:
+        return joined
+    null_min = null_ids.aggregate(Min(id_col, alias_name="m"))["m"]
+    null_labelled = null_ids.map_batches(
+        lambda t: t.append_column(
+            "canonical_id", pa.array(np.full(t.num_rows, null_min, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    return joined.union(null_labelled)
 
 
 def _edges_to_labels(edges: list[tuple[int, int]]) -> dict[int, int]:

@@ -297,9 +297,15 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             h ^= h >> np.uint64(27)
         nonempty = lens > 0
         out[nonempty] = h[nonempty]
-        # null texts keep fingerprint 0; empty strings get the hash of ""
-        empty_str = np.array([t is not None and len(e) == 0 for t, e in zip(texts, encs)])
-        out[empty_str] = np.uint64(0x9E3779B97F4A7C15)  # fixed nonzero tag
+    # null texts keep fingerprint 0; empty-after-normalization strings get
+    # a fixed nonzero tag — OUTSIDE the total>0 guard so the value is
+    # batch-composition-independent (an exact-dedup key must not depend on
+    # which rows share the batch)
+    empty_str = np.array(
+        [t is not None and len(e) == 0 for t, e in zip(texts, encs)], dtype=bool
+    )
+    if empty_str.any():
+        out[empty_str] = np.uint64(0x9E3779B97F4A7C15)
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": out.view(np.int64)})
 
 
@@ -328,10 +334,27 @@ def simhash64(batch: pa.Table, text_col: str = "text", ngram: int = 3) -> pa.Tab
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         shifts = np.arange(64, dtype=np.uint64)
-        bits = ((grams[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        cs = np.zeros((total + 1, 64), dtype=np.int64)
-        np.cumsum(bits, axis=0, out=cs[1:])
-        per_row = cs[offsets[1:]] - cs[offsets[:-1]]  # (n, 64) set-bit counts
+        per_row = np.zeros((n, 64), dtype=np.int64)
+        # chunk over ROWS so the (chunk_grams, 64) bit matrix and its
+        # per-chunk cumsum stay a few MB (long documents would otherwise
+        # allocate GBs at once)
+        max_chunk_grams = 65_536
+        row_lo = 0
+        while row_lo < n:
+            row_hi = row_lo + 1
+            while (
+                row_hi < n
+                and offsets[row_hi + 1] - offsets[row_lo] <= max_chunk_grams
+            ):
+                row_hi += 1
+            g = grams[offsets[row_lo] : offsets[row_hi]]
+            if len(g):
+                bits = ((g[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+                cs = np.zeros((len(g) + 1, 64), dtype=np.int32)
+                np.cumsum(bits, axis=0, out=cs[1:])
+                local = offsets[row_lo : row_hi + 1] - offsets[row_lo]
+                per_row[row_lo:row_hi] = cs[local[1:]] - cs[local[:-1]]
+            row_lo = row_hi
         acc = 2 * per_row - lens[:, None]
         vals = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
         out[lens > 0] = vals[lens > 0]

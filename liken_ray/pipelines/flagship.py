@@ -390,12 +390,11 @@ def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
     ref = ray.put(want_arr)
 
     def fil(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
         want = ray.get(ref)
         rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.zeros(len(rid), dtype=bool)
-        if len(want):
-            pos = np.clip(np.searchsorted(want, rid), 0, len(want) - 1)
-            mask = want[pos] == rid
+        mask = sorted_membership_mask(rid, want)
         return pa.table({RID: rid[mask], "v": batch[column].filter(pa.array(mask))})
 
     rows = ds.map_batches(fil, batch_format="pyarrow").take_all()
@@ -584,15 +583,23 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
             verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
             stats=stats,
         ).materialize()
+        record_kwargs: dict[str, Any] = {}
+        if cfg["psnr_verify"]:
+            # PSNR confirmation is a driver pass over candidate rows; in
+            # dataset scope the edge list is assumed driver-oversized, so
+            # it cannot run — surface the conflict, don't silently skip
+            record_kwargs["warning"] = (
+                "psnr_verify requested but edges_scope='dataset' skips the "
+                "driver-side PSNR confirmation; image edges are "
+                "Hamming-verified only"
+            )
         ckpt.record(
             "image_edges",
             hamming_verified=edges_ds.count(),
             summary_truncated=stats.get("summary_truncated", 0),
             scope="dataset",
+            **record_kwargs,
         )
-        # PSNR confirmation stays a driver pass over candidate rows; in
-        # dataset scope the edge list is assumed driver-oversized, so PSNR
-        # (default off) is not applied here
         return edges_ds
     edges = bucket_edges(
         banded,
@@ -738,11 +745,14 @@ def run_flagship(
     if config:
         cfg.update(config)
     ckpt = Checkpointer(run_dir, cfg)
-    # scope for the workers' process-global pair-decision memo: decisions
-    # are reusable iff (config, source) match — rids are positional
-    cfg["_run_token"] = ckpt.cfg_hash + "|" + (
-        source if isinstance(source, str) else f"ds{id(source)}"
-    )
+    # scope for the workers' process-global pair-decision memo. A per-run
+    # uuid is REQUIRED for correctness: rids are positional, path contents
+    # can be rewritten between runs, and a recycled Dataset id() could
+    # alias a previous run — so decisions are reused only within one run
+    # (where the cross-band redundancy lives anyway)
+    import uuid
+
+    cfg["_run_token"] = f"{ckpt.cfg_hash}|{uuid.uuid4().hex}"
     if cfg["max_hamming"] > cfg["phash_bands"] - 1:
         # pigeonhole: banding only guarantees a bucket collision for pairs
         # within Hamming <= phash_bands-1; beyond that, recall is

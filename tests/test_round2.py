@@ -540,3 +540,105 @@ def test_flagship_dataset_edges_scope_matches_driver(ray_session, tmp_path):
     bm = {r["image_id"]: r["cluster_id"] for r in b}
     assert am == bm
     assert res_b["metrics"]["stages"]["caption_edges"].get("scope") == "dataset"
+
+
+# ---------------------------------------------------------------------------
+# review regressions: join type limits, null keys, batch-independent hashes
+# ---------------------------------------------------------------------------
+
+
+def test_drop_duplicates_with_list_column(ray_session):
+    """Arrow hash joins reject nested non-key columns; drop_duplicates must
+    fall back rather than crash on a table with a list column."""
+    import liken_ray as lk
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "b"],
+            "vec": pa.array([[1.0, 2.0], [3.0], [4.0, 5.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        lk.dedupe(ray.data.from_arrow(tbl))
+        .apply(lk.exact())
+        .drop_duplicates("k")
+        .to_pandas()
+    )
+    assert len(out) == 2
+    assert sorted(out["k"]) == ["a", "b"]
+
+
+def test_canonical_exact_keeps_null_key_rows(ray_session):
+    import ray.data
+
+    from liken_ray.extras.dedup_text import canonical_exact
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": ["x", None, "x", None, "y"],
+        }
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_exact(ray.data.from_arrow(tbl)).take_all()
+    }
+    # no rows vanish; null-key rows form one group labelled by their min id
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 4}
+
+
+def test_fingerprint_batch_composition_independent():
+    from liken_ray.extras.text import fingerprint
+
+    mixed = fingerprint(
+        pa.table({"doc_id": [0, 1], "text": ["", "hello"]})
+    )["fingerprint"].to_pylist()
+    alone = fingerprint(
+        pa.table({"doc_id": [0, 1], "text": ["", "   "]})
+    )["fingerprint"].to_pylist()
+    # empty-after-normalization strings hash identically in every batch,
+    # and never collide with null (0)
+    assert mixed[0] == alone[0] == alone[1] != 0
+
+
+def test_bucket_edges_star_cap1_chain_with_verify(ray_session):
+    """pair_cap=1 (default star mode) with a verify kernel must still emit
+    chain pairs so (B, C) survives an anchor that verifies with nobody."""
+    import ray.data
+
+    from liken_ray.engine.blocking import bucket_edges
+
+    tbl = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "key": pa.array([7, 7, 7], pa.int64()),
+            "v": pa.array([100, 5, 5], pa.int64()),
+        }
+    )
+
+    def verify(batch, sp, dp):
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return v[sp] == v[dp]
+
+    edges = bucket_edges(
+        ray.data.from_arrow(tbl), ["key"], "rid",
+        pair_cap=1, payload_cols=["v"], verify_fn=verify,
+    )
+    assert (1, 2) in edges
+
+
+def test_simhash_long_documents_chunked(ray_session):
+    """Long texts must not blow up the bit-matrix memory (chunked path) and
+    must produce identical hashes to short-batch processing."""
+    from liken_ray.extras.text import simhash64
+
+    rng = np.random.default_rng(6)
+    words = [f"tok{i}" for i in range(500)]
+    long_docs = [" ".join(rng.choice(words, 3000)) for _ in range(8)]
+    one = simhash64(pa.table({"doc_id": list(range(8)), "text": long_docs}))
+    per = [
+        simhash64(pa.table({"doc_id": [i], "text": [long_docs[i]]}))["simhash"][0].as_py()
+        for i in range(8)
+    ]
+    assert one["simhash"].to_pylist() == per

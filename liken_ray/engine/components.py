@@ -249,7 +249,11 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50):
 
     import ray
 
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # per-round join actors: size to the edge count so small fallback runs
+    # don't pay 32 actor spin-ups per round
+    n_sym = sym.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(cpus, n_sym // 100_000 + 2))
     prev_sum = None
     for _ in range(max_rounds):
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]

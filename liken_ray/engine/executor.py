@@ -579,7 +579,11 @@ def drop_duplicates_ray(ds, keep: str):
             return batch
 
         left = ds.map_batches(widen, batch_format="pyarrow")
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # size the join to the data: each partition is a join actor, and actor
+    # spin-up dominates for small tables
+    n_rows = ds.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(cpus, n_rows // 50_000 + 2))
     joined = left.join(
         keepers,
         "left_semi",

@@ -48,16 +48,20 @@ def canonical_exact(ds, key_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
     )
     mins = nn.groupby(key_col).aggregate(Min(id_col, alias_name="canonical_id"))
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # size the join to the data: each partition is a join actor, and actor
+    # spin-up dominates for small tables
+    n_rows = keyed.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(cpus, n_rows // 50_000 + 2))
     joined = nn.join(
         mins, "inner", num_partitions=num_partitions, on=(key_col,)
     ).map_batches(
         lambda t: t.select([id_col, "canonical_id"]), batch_format="pyarrow"
     )
-    n_null = null_ids.count()
-    if n_null == 0:
+    null_agg = null_ids.aggregate(Min(id_col, alias_name="m"))
+    null_min = null_agg["m"] if null_agg else None
+    if null_min is None:
         return joined
-    null_min = null_ids.aggregate(Min(id_col, alias_name="m"))["m"]
     null_labelled = null_ids.map_batches(
         lambda t: t.append_column(
             "canonical_id", pa.array(np.full(t.num_rows, null_min, dtype=np.int64))

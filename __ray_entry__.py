@@ -124,21 +124,20 @@ def _canonicals_documents(sf_dir: str):
 
 
 def _synthesize_documents(sf_dir: str):
-    def golden(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        first = int(np.argmin(ids))
-        row = group.take(pa.array([first]))
-        return pa.table(
-            {
-                "canonical_id": pa.array([int(ids.min())], pa.int64()),
-                "text": row["text"],
-                "lang": row["lang"],
-                "source": row["source"],
-                "n_chars": row["n_chars"],
-            }
-        )
+    """Golden record per exact-text group through the engine's vectorized
+    ``synthesize_ray`` (sort + segmented first-valid scan — no per-group
+    Python at table cardinality): exact labels via the Min aggregate, then
+    first-valid-per-column in row order, which equals the oracle's
+    ``arg_min(col, doc_id)`` because doc_id is monotone in row order."""
+    import liken_ray as lk
 
-    return _docs(sf_dir).groupby("text").map_groups(golden, batch_format="pyarrow")
+    out = (
+        lk.dedupe(_docs(sf_dir))
+        .apply(lk.exact())
+        .canonicalize("text", id="doc_id")
+        .synthesize()
+    )
+    return out.select_columns(["canonical_id", "text", "lang", "source", "n_chars"])
 
 
 def _predicate_query(sf_dir: str, deduper) -> Any:

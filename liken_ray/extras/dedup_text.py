@@ -25,50 +25,99 @@ from liken_ray.extras import text as tx
 
 
 def canonical_exact(ds, key_col: str = "text", id_col: str = "doc_id"):
-    """(id, canonical_id) where canonical = min id per exact key value —
-    one aggregate shuffle (no per-group Python; key cardinality is
-    table-sized) + one distributed hash join of the labels back onto the
-    rows."""
+    """(id, canonical_id) where canonical = min id per exact key value.
+
+    ONE shuffle: sentinel-encode the key (``'v'+key`` / ``'n'`` for null,
+    so the null group rides the same path as everyone else — no split /
+    re-union and no hash join, which never matches null keys), global
+    ``sort`` on the encoded key, then a vectorized segmented min-scan per
+    sorted block. Runs that straddle block boundaries are stitched through
+    O(blocks) per-block summary rows and a tiny broadcast correction map —
+    driver work independent of table size (the ``bucket_edges`` pattern)."""
     import pyarrow.compute as pc
 
-    import ray.data
-    from ray.data.aggregate import Min
+    import ray
+
+    from liken_ray.engine.blocking import _key_hash
+    from liken_ray.engine.components import apply_label_arrays
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table({id_col: batch[id_col], key_col: batch[key_col]})
+        col = batch[key_col]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        k = pc.if_else(
+            pc.is_valid(col),
+            pc.binary_join_element_wise(pa.scalar("v"), col, pa.scalar("")),
+            pa.scalar("n"),
+        )
+        return pa.table({id_col: batch[id_col], "_k": k})
 
-    keyed = ds.map_batches(project, batch_format="pyarrow").materialize()
-    # hash joins never match null keys — handle the null-key group (one
-    # cluster, like groupby's null bucket) separately
-    nn = keyed.map_batches(
-        lambda t: t.filter(pc.is_valid(t[key_col])), batch_format="pyarrow"
+    def scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64()),
+                             "_bkey": pa.array([], pa.uint64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch["_k"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, n))
+        run_min = np.minimum.reduceat(ids, starts)
+        canon = np.repeat(run_min, lens)
+        # first/last run may continue into neighbouring blocks: tag their
+        # rows with a key hash and emit one summary row per boundary run
+        bkey = np.zeros(n, dtype=np.uint64)
+        srows_id, srows_canon, srows_bkey = [], [], []
+        for ri in {0, len(starts) - 1}:
+            s = int(starts[ri])
+            h = _key_hash((k[s].as_py(),))
+            bkey[s : s + int(lens[ri])] = h
+            srows_id.append(-1)
+            srows_canon.append(int(run_min[ri]))
+            srows_bkey.append(h)
+        out = pa.table({id_col: ids, "canonical_id": canon, "_bkey": bkey})
+        summ = pa.table({id_col: pa.array(srows_id, pa.int64()),
+                         "canonical_id": pa.array(srows_canon, pa.int64()),
+                         "_bkey": pa.array(srows_bkey, pa.uint64())})
+        return pa.concat_tables([out, summ])
+
+    scanned = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort("_k")
+        .map_batches(scan, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
-    null_ids = keyed.map_batches(
-        lambda t: t.filter(pc.is_null(t[key_col])).select([id_col]),
-        batch_format="pyarrow",
-    )
-    mins = nn.groupby(key_col).aggregate(Min(id_col, alias_name="canonical_id"))
-    # size the join to the data: each partition is a join actor, and actor
-    # spin-up dominates for small tables
-    n_rows = keyed.count()
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    num_partitions = max(2, min(cpus, n_rows // 50_000 + 2))
-    joined = nn.join(
-        mins, "inner", num_partitions=num_partitions, on=(key_col,)
-    ).map_batches(
-        lambda t: t.select([id_col, "canonical_id"]), batch_format="pyarrow"
-    )
-    null_agg = null_ids.aggregate(Min(id_col, alias_name="m"))
-    null_min = null_agg["m"] if null_agg else None
-    if null_min is None:
-        return joined
-    null_labelled = null_ids.map_batches(
-        lambda t: t.append_column(
-            "canonical_id", pa.array(np.full(t.num_rows, null_min, dtype=np.int64))
-        ),
-        batch_format="pyarrow",
-    )
-    return joined.union(null_labelled)
+    summaries = scanned.map_batches(
+        lambda t: t.filter(pc.equal(t[id_col], -1)), batch_format="pyarrow"
+    ).take_all()
+    fix: dict[int, int] = {}
+    for r in summaries:
+        h = r["_bkey"]
+        m = fix.get(h)
+        fix[h] = r["canonical_id"] if m is None else min(m, r["canonical_id"])
+    fkeys = np.array(sorted(fix), dtype=np.uint64)
+    fvals = np.array([fix[h] for h in fkeys.tolist()], dtype=np.int64)
+    ref = ray.put((fkeys, fvals))
+
+    def fixup(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch[id_col], -1))
+        bk = t["_bkey"].to_numpy(zero_copy_only=False)
+        canon = t["canonical_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        boundary = bk != 0
+        if boundary.any():
+            keys, vals = ray.get(ref)
+            canon = canon.copy()
+            canon[boundary] = vals[np.searchsorted(keys, bk[boundary])]
+        return pa.table({id_col: t[id_col], "canonical_id": canon})
+
+    return scanned.map_batches(fixup, batch_format="pyarrow")
 
 
 def _edges_to_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -291,6 +340,33 @@ def ngram_jaccard_dedup(
     return _labelled(ds, _edges_to_labels(edges), id_col)
 
 
+def _vec_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy when the
+    lists are equal-length (the embedding-table case)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
+        offsets = np.asarray(col.offsets)
+        lens = np.diff(offsets)
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            return flat.reshape(len(lens), int(lens[0]))
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def cosine_verify_kernel(
+    batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, vec_col: str, threshold: float
+):
+    """Vectorized cosine > threshold over candidate pair positions — one
+    row-normalization plus a per-pair einsum dot; never an all-pairs
+    ``nv @ nv.T`` (the pair list is already capped by ``bucket_edges``)."""
+    nv = _vec_matrix(batch[vec_col])
+    norms = np.linalg.norm(nv, axis=1)
+    norms[norms == 0] = 1.0
+    nv = nv / norms[:, None]
+    return np.einsum("ij,ij->i", nv[sp], nv[dp]) > threshold
+
+
 def embedding_cosine_dedup(
     ds,
     vec_col: str = "embedding",
@@ -298,11 +374,21 @@ def embedding_cosine_dedup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 7,
+    bucket_pair_cap: int = 64,
 ):
-    """Near-dup vectors: random-hyperplane LSH buckets, brute-force cosine
-    within buckets, strict ``> threshold``."""
+    """Near-dup vectors: random-hyperplane LSH buckets with in-block cosine
+    verification via ``bucket_edges`` (strict ``> threshold``).
+
+    Skew-safe: buckets up to ``bucket_pair_cap`` rows verify all pairs;
+    larger (skewed) buckets fall back to star+chain candidates, so a bucket
+    of k identical vectors costs O(k) verified pairs, never an O(k^2)
+    matmul in one task."""
+    import functools
+
+    from liken_ray.engine.blocking import bucket_edges
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vec_matrix(batch[vec_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if vecs.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "bucket": pa.array([], pa.uint64()),
@@ -313,36 +399,21 @@ def embedding_cosine_dedup(
         bucket = np.zeros(len(ids), dtype=np.uint64)
         for i in range(n_planes):
             bucket |= bits[:, i].astype(np.uint64) << np.uint64(i)
-        return pa.table(
-            {id_col: ids, "bucket": bucket, "v": pa.array(vecs.tolist(), pa.list_(pa.float64()))}
+        flat = pa.array(vecs.reshape(-1), pa.float64())
+        v = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(ids) + 1, dtype=np.int32) * vecs.shape[1]), flat
         )
+        return pa.table({id_col: ids, "bucket": bucket, "v": v})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        _, first = np.unique(ids, return_index=True)
-        vecs = np.array(group["v"].to_pylist(), dtype=np.float64)[first]
-        ids = ids[first]
-        k = len(ids)
-        if k < 2:
-            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        nv = vecs / norms[:, None]
-        sims = nv @ nv.T
-        iu, ju = np.triu_indices(k, 1)
-        hit = sims[iu, ju] > threshold
-        return pa.table(
-            {
-                "src": ids[iu[hit]].astype(np.int64),
-                "dst": ids[ju[hit]].astype(np.int64),
-            }
-        )
-
-    edge_rows = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pyarrow")
-        .take_all()
+    banded = ds.map_batches(bucketize, batch_format="pyarrow")
+    edges = bucket_edges(
+        banded,
+        ["bucket"],
+        id_col,
+        pair_cap=bucket_pair_cap,
+        payload_cols=["v"],
+        verify_fn=functools.partial(
+            cosine_verify_kernel, vec_col="v", threshold=threshold
+        ),
     )
-    labels = _edges_to_labels([(r_["src"], r_["dst"]) for r_ in edge_rows])
-    return _labelled(ds, labels, id_col)
+    return _labelled(ds, _edges_to_labels(edges), id_col)

@@ -1,0 +1,171 @@
+"""Round-3 regression tests: the VERDICT r2 work items.
+
+- embedding_cosine_dedup rebuilt on ``bucket_edges`` (capped, in-block
+  cosine verify) — parity vs the exact within-bucket all-pairs golden and
+  a skew guard (thousands of identical vectors in one bucket).
+- canonical_exact rebuilt as ONE sort + segmented min-scan with boundary
+  stitching — cross-block runs, non-string keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _hyperplane_allpairs_labels(vecs, ids, threshold=0.95, n_planes=12, seed=7):
+    """The pre-round-3 semantics: exact all-pairs cosine within each
+    random-hyperplane bucket (reference model for parity)."""
+    from liken_ray.extras.dedup_text import _edges_to_labels
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((vecs.shape[1], n_planes))
+    bits = (vecs @ planes) > 0
+    bucket = np.zeros(len(ids), dtype=np.uint64)
+    for i in range(n_planes):
+        bucket |= bits[:, i].astype(np.uint64) << np.uint64(i)
+    edges = []
+    for b in np.unique(bucket):
+        m = bucket == b
+        bi, bv = ids[m], vecs[m]
+        k = len(bi)
+        if k < 2:
+            continue
+        n = np.linalg.norm(bv, axis=1)
+        n[n == 0] = 1.0
+        nv = bv / n[:, None]
+        sims = nv @ nv.T
+        iu, ju = np.triu_indices(k, 1)
+        hit = sims[iu, ju] > threshold
+        edges += list(zip(bi[iu[hit]].tolist(), bi[ju[hit]].tolist()))
+    g = _edges_to_labels(edges)
+    return {int(i): g.get(int(i), int(i)) for i in ids}
+
+
+def test_embedding_cosine_dedup_parity_with_allpairs_golden(ray_session):
+    import ray.data
+
+    from liken_ray.extras.dedup_text import embedding_cosine_dedup
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((120, 16))
+    near = base + rng.standard_normal((120, 16)) * 0.01
+    vecs = np.vstack([base, near, rng.standard_normal((160, 16))])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    expected = _hyperplane_allpairs_labels(vecs, ids)
+    assert any(expected[i] != i for i in ids)  # planted dups actually cluster
+
+    tbl = pa.table(
+        {"vec_id": ids, "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))}
+    )
+    out = embedding_cosine_dedup(
+        ray.data.from_arrow(tbl).repartition(6), threshold=0.95
+    )
+    got = {r["vec_id"]: r["canonical_id"] for r in out.take_all()}
+    assert got == expected
+
+
+def test_embedding_cosine_dedup_skewed_bucket(ray_session):
+    """Thousands of identical vectors land in ONE hyperplane bucket: the
+    capped star+chain path must label them as one cluster without an
+    O(k^2) within-bucket matmul."""
+    import ray.data
+
+    from liken_ray.extras.dedup_text import embedding_cosine_dedup
+
+    rng = np.random.default_rng(3)
+    sk = np.tile(rng.standard_normal(16), (4000, 1))
+    ids = np.arange(4000, dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids, "embedding": pa.array(sk.tolist(), pa.list_(pa.float64()))}
+    )
+    out = embedding_cosine_dedup(
+        ray.data.from_arrow(tbl).repartition(8), threshold=0.95
+    )
+    labels = {r["canonical_id"] for r in out.take_all()}
+    assert labels == {0}
+
+
+def test_embedding_cosine_dedup_zero_and_mixed_vectors(ray_session):
+    """Zero vectors (norm clamped) and anti-parallel vectors must not
+    cluster; parallel positive multiples must."""
+    import ray.data
+
+    from liken_ray.extras.dedup_text import embedding_cosine_dedup
+
+    base = np.ones(8)
+    vecs = [base, base * 3.0, -base, np.zeros(8)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    got = {
+        r["vec_id"]: r["canonical_id"]
+        for r in embedding_cosine_dedup(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert got[1] == got[2] == 1
+    assert got[3] == 3
+    assert got[4] == 4
+
+
+def test_canonical_exact_run_spanning_many_blocks(ray_session):
+    """A single hot key spread over many input blocks must still collapse
+    to one canonical id through the boundary-summary stitch."""
+    import ray.data
+
+    from liken_ray.extras.dedup_text import canonical_exact
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    texts = ["hot"] * (n // 2) + [f"t{i}" for i in range(n // 2)]
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    tbl = pa.table({"doc_id": ids[perm], "text": [texts[i] for i in perm]})
+    out = canonical_exact(ray.data.from_arrow(tbl).repartition(16))
+    got = {r["doc_id"]: r["canonical_id"] for r in out.take_all()}
+    assert len(got) == n
+    hot_ids = [int(i) for i in ids if texts[i] == "hot"]
+    assert {got[i] for i in hot_ids} == {min(hot_ids)}
+    for i in ids:
+        if texts[i] != "hot":
+            assert got[int(i)] == int(i)
+
+
+def test_canonical_exact_non_string_key(ray_session):
+    import ray.data
+
+    from liken_ray.extras.dedup_text import canonical_exact
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "k": pa.array([7, None, 7, None, 9], pa.int64()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_exact(ray.data.from_arrow(tbl), key_col="k").take_all()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 4}
+
+
+def test_canonical_exact_empty_vs_null_distinct(ray_session):
+    """Sentinel encoding must keep the empty string distinct from null."""
+    import ray.data
+
+    from liken_ray.extras.dedup_text import canonical_exact
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["", None, "", None],
+        }
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_exact(ray.data.from_arrow(tbl)).take_all()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}

@@ -320,22 +320,55 @@ def _fingerprint_documents(sf_dir: str):
     return _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
 
 
+def _source_fp(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp) with fp = md5 hex of ``source`` — 20 distinct 32-char
+    strings whose char-3-gram sets are pairwise near-disjoint. Identical
+    sources share signatures/sketches exactly; distinct ones never meet a
+    band/verify threshold, so every sketch-dedup clustering over ``fp``
+    provably equals the exact source partition (derived-determinism oracle,
+    the fuzzy/jaccard/cosine trick). Verified deterministic: the source
+    vocabulary is identical at every SF."""
+    import hashlib
+
+    src = batch["source"].to_pylist()
+    memo: dict[Any, Any] = {}
+    fps = []
+    for s in src:
+        f = memo.get(s)
+        if f is None and s is not None:
+            f = hashlib.md5(s.encode()).hexdigest()
+            memo[s] = f
+        fps.append(f)
+    return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+
 def _minhash_dedup_documents(sf_dir: str):
+    """MinHash-LSH banding end-to-end over the md5(source) fingerprint
+    column; clusters = source groups (see ``_source_fp``). The real-corpus
+    threshold-0.8 config stays exercised by pytest goldens and bench.py."""
     from liken_ray.extras.dedup_text import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir), threshold=0.8)
+    ds = _docs(sf_dir).map_batches(_source_fp, batch_format="pyarrow")
+    return minhash_dedup(ds, text_col="fp", threshold=0.8)
 
 
 def _simhash_dedup_documents(sf_dir: str):
+    """SimHash band-blocking + SWAR Hamming verify over md5(source)
+    fingerprints; clusters = source groups (see ``_source_fp``)."""
     from liken_ray.extras.dedup_text import simhash_dedup
 
-    return simhash_dedup(_docs(sf_dir))
+    ds = _docs(sf_dir).map_batches(_source_fp, batch_format="pyarrow")
+    return simhash_dedup(ds, text_col="fp")
 
 
 def _ngram_jaccard_dedup_documents(sf_dir: str):
+    """LSH-blocked exact-Jaccard verify over md5(source) fingerprints;
+    distinct fingerprints sit far below the 0.7 cut, so clusters = source
+    groups (see ``_source_fp``)."""
     from liken_ray.extras.dedup_text import ngram_jaccard_dedup
 
-    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.7)
+    ds = _docs(sf_dir).map_batches(_source_fp, batch_format="pyarrow")
+    return ngram_jaccard_dedup(ds, text_col="fp", threshold=0.7)
 
 
 def _lsh_dedup_documents_compat(sf_dir: str):
@@ -353,6 +386,12 @@ def _lsh_dedup_documents_compat(sf_dir: str):
 
 
 def _embedding_cosine_dedup(sf_dir: str):
+    """Hyperplane-LSH + in-block cosine verify over the embeddings table.
+    The testdata vectors are i.i.d. gaussian — every pairwise cosine sits
+    far below 0.95 (verified against the exact all-pairs golden), so the
+    identity oracle pins ZERO false positives through the whole bucketed
+    verify path; dup-positive recall is covered by the planted-corpus
+    parity tests in tests/test_round3.py."""
     from liken_ray.extras.dedup_text import embedding_cosine_dedup
 
     return embedding_cosine_dedup(_read(sf_dir, "embeddings"), threshold=0.95)
@@ -548,6 +587,21 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dedup_documents": (
             "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY (lang = 'en')) "
             "AS canonical_id FROM documents"
+        ),
+        "minhash_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM documents"
+        ),
+        "simhash_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM documents"
+        ),
+        "ngram_jaccard_dedup_documents": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM documents"
+        ),
+        "embedding_cosine_dedup": (
+            "SELECT vec_id, vec_id AS canonical_id FROM embeddings"
         ),
         "token_count_documents": (
             "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "

@@ -91,15 +91,27 @@ def run_bench(num_cpus: int, sf_dir: str, pairs_rows: int) -> dict:
     if os.environ.get("GRAFT_BENCH_ONLY") != "flagship":
         import __ray_entry__ as em
 
-        qs = em.queries()
-        for name in (
+        import ray.data
+        from liken_ray.extras.dedup_text import minhash_dedup, simhash_dedup
+
+        # minhash/simhash: time the REAL text-corpus pipelines directly —
+        # the queries() entries moved to derived-determinism oracle configs
+        # in round 3, and the bench series must stay comparable to r01/r02
+        docs = lambda: ray.data.read_parquet(  # noqa: E731
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        timed(
             "minhash_dedup_documents",
-            "exact_dedup_documents",
-            "quality_documents",
-            "simhash_dedup_documents",
-            "ann_topk_embeddings",
-        ):
+            lambda: _consume(minhash_dedup(docs(), threshold=0.8)),
+        )
+        qs = em.queries()
+        for name in ("exact_dedup_documents", "quality_documents"):
             timed(name, lambda n=name: _consume(qs[n](sf_dir)))
+        timed("simhash_dedup_documents", lambda: _consume(simhash_dedup(docs())))
+        timed(
+            "ann_topk_embeddings",
+            lambda: _consume(qs["ann_topk_embeddings"](sf_dir)),
+        )
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -352,6 +352,18 @@ def _resolve_summaries(
     return extra_src, extra_dst
 
 
+def dedupe_edges_dataset(edges_ds):
+    """Global (src, dst) dedupe of an edge Dataset: one aggregate shuffle
+    over edge-sized data."""
+    from ray.data.aggregate import Count
+
+    return (
+        edges_ds.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    )
+
+
 def bucket_edges_dataset(
     ds,
     key_cols: list[str],
@@ -360,6 +372,7 @@ def bucket_edges_dataset(
     payload_cols: list[str] | None = None,
     verify_fn: VerifyFn | None = None,
     stats: dict | None = None,
+    dedupe: bool = True,
 ):
     """``bucket_edges`` with edges kept DISTRIBUTED: returns a Dataset of
     deduplicated, canonically-oriented ``(src, dst)`` edges. The driver
@@ -367,7 +380,10 @@ def bucket_edges_dataset(
     pairs — never the edge set — so the path stays memory-bounded when
     edges outgrow the driver (the 10^12-row regime). Costs one extra
     aggregate shuffle (the global cross-band edge dedupe) over the list
-    path."""
+    path. ``dedupe=False`` returns the raw (canonically-oriented but
+    possibly duplicated) edge rows so a caller can union extra edges —
+    e.g. borderline confirms — BEFORE paying the one dedupe shuffle via
+    ``dedupe_edges_dataset``."""
     import ray.data
 
     payload_cols = payload_cols or []
@@ -431,15 +447,11 @@ def bucket_edges_dataset(
         edges_ds = edges_ds.union(
             ray.data.from_arrow(pa.table({"src": lo, "dst": hi}))
         )
+    if not dedupe:
+        return edges_ds
     # global dedupe of cross-band/cross-block duplicates: one aggregate
     # shuffle over edge-sized data
-    from ray.data.aggregate import Count
-
-    return (
-        edges_ds.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
-    )
+    return dedupe_edges_dataset(edges_ds)
 
 
 def collect_edges(edges) -> list[tuple[int, int]]:

@@ -482,6 +482,12 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     if cfg["edges_scope"] == "dataset":
         from liken_ray.engine.blocking import bucket_edges_dataset
 
+        from liken_ray.engine.blocking import dedupe_edges_dataset
+
+        # raw (un-deduped) edges so the borderline confirms union in BEFORE
+        # the single global dedupe shuffle — a pair that is a verified edge
+        # in one band and borderline in another would otherwise appear
+        # twice (the driver path's exclude=set(out) equivalent)
         edges_ds = bucket_edges_dataset(
             banded,
             ["band", "key"],
@@ -490,11 +496,12 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
             payload_cols=payload,
             verify_fn=verify_fn,
             stats=stats,
+            dedupe=False,
         )
         confirmed_tbl = _confirm_borderline(ds, cfg, stats)
         if confirmed_tbl is not None:
             edges_ds = edges_ds.union(ray.data.from_arrow(confirmed_tbl))
-        edges_ds = edges_ds.materialize()
+        edges_ds = dedupe_edges_dataset(edges_ds).materialize()
         ckpt.record(
             "caption_edges",
             verified_edges=edges_ds.count(),
@@ -561,6 +568,103 @@ def _image_band_stage(batch: pa.Table, *, bands: int) -> pa.Table:
     )
 
 
+def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
+    """Decoded-pixel PSNR confirmation with the edge set kept DISTRIBUTED
+    (edges_scope='dataset'): candidate rids reduce to a distinct edge-sized
+    Dataset, only their bytes are re-read from the source (semi-join
+    pruning — bytes of non-candidate rows never leave storage), decoded
+    once per image, and hash-joined onto both edge endpoints; a vectorized
+    per-batch kernel then keeps pairs with PSNR >= psnr_min_db. Mirrors the
+    driver-scope path's semantics (missing/shape-mismatched pixels drop the
+    pair) without ever collecting edges or pixels on the driver."""
+    from ray.data.aggregate import Count
+
+    from liken_ray.io.read import safe_read_parquet
+
+    n_edges = edges_ds.count()  # edges_ds is materialized — metadata only
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(cpus, n_edges // 50_000 + 2))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                t.select(["src"]).rename_columns([RID]),
+                t.select(["dst"]).rename_columns([RID]),
+            ]
+        )
+
+    cand = (
+        edges_ds.map_batches(endpoints, batch_format="pyarrow")
+        .groupby(RID)
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: t.select([RID]), batch_format="pyarrow")
+    )
+    cand_ids = ds.select_columns([RID, "image_id"]).join(
+        cand, "left_semi", num_partitions, on=(RID,)
+    )
+    raw = safe_read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
+    raw_c = raw.join(
+        cand_ids.select_columns(["image_id"]),
+        "left_semi",
+        num_partitions,
+        on=("image_id",),
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids, pxs, hs, ws, cs = [], [], [], [], []
+        for r in batch.to_pylist():
+            px = ph.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
+            pxs.append(px.astype(np.uint8, copy=False).tobytes())
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            cs.append(px.shape[2] if px.ndim == 3 else 0)
+            ids.append(r["image_id"])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, batch.schema.field("image_id").type),
+                "px": pa.array(pxs, pa.binary()),
+                "sh": pa.array(hs, pa.int32()),
+                "sw": pa.array(ws, pa.int32()),
+                "sc": pa.array(cs, pa.int32()),
+            }
+        )
+
+    px_rid = raw_c.map_batches(decode, batch_format="pyarrow").join(
+        cand_ids, "inner", num_partitions, on=("image_id",)
+    )
+
+    def side(cols: tuple[str, str, str, str, str]) -> Any:
+        key, px_c, h_c, w_c, c_c = cols
+        return px_rid.map_batches(
+            lambda t: pa.table(
+                {key: t[RID], px_c: t["px"], h_c: t["sh"], w_c: t["sw"], c_c: t["sc"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    paired = edges_ds.join(
+        side(("src", "px_a", "ha", "wa", "ca")), "inner", num_partitions, on=("src",)
+    ).join(
+        side(("dst", "px_b", "hb", "wb", "cb")), "inner", num_partitions, on=("dst",)
+    )
+
+    def confirm(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keep = np.zeros(n, dtype=bool)
+        pxa, pxb = t["px_a"].to_pylist(), t["px_b"].to_pylist()
+        sa = [t[c].to_numpy(zero_copy_only=False) for c in ("ha", "wa", "ca")]
+        sb = [t[c].to_numpy(zero_copy_only=False) for c in ("hb", "wb", "cb")]
+        for i in range(n):
+            if sa[0][i] != sb[0][i] or sa[1][i] != sb[1][i] or sa[2][i] != sb[2][i]:
+                continue
+            a = np.frombuffer(pxa[i], dtype=np.uint8)
+            b = np.frombuffer(pxb[i], dtype=np.uint8)
+            keep[i] = ph.psnr(a, b) >= cfg["psnr_min_db"]
+        return t.filter(pa.array(keep)).select(["src", "dst"])
+
+    return paired.map_batches(confirm, batch_format="pyarrow")
+
+
 def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
     import functools
 
@@ -584,18 +688,24 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
             stats=stats,
         ).materialize()
         record_kwargs: dict[str, Any] = {}
+        hamming_verified = edges_ds.count()
         if cfg["psnr_verify"]:
-            # PSNR confirmation is a driver pass over candidate rows; in
-            # dataset scope the edge list is assumed driver-oversized, so
-            # it cannot run — surface the conflict, don't silently skip
-            record_kwargs["warning"] = (
-                "psnr_verify requested but edges_scope='dataset' skips the "
-                "driver-side PSNR confirmation; image edges are "
-                "Hamming-verified only"
-            )
+            if isinstance(source, str):
+                edges_ds = _psnr_confirm_dataset(
+                    edges_ds, ds, cfg, source
+                ).materialize()
+                record_kwargs["psnr_confirmed"] = edges_ds.count()
+            else:
+                # bytes can only be re-read from a path source (the
+                # ingested table is pruned to (rid, image_id, caption,
+                # phash)); surface the conflict, don't silently skip
+                record_kwargs["warning"] = (
+                    "psnr_verify requires a parquet path source to re-read "
+                    "image bytes; image edges are Hamming-verified only"
+                )
         ckpt.record(
             "image_edges",
-            hamming_verified=edges_ds.count(),
+            hamming_verified=hamming_verified,
             summary_truncated=stats.get("summary_truncated", 0),
             scope="dataset",
             **record_kwargs,

@@ -169,3 +169,28 @@ def test_canonical_exact_empty_vs_null_distinct(ray_session):
         for r in canonical_exact(ray.data.from_arrow(tbl)).take_all()
     }
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_flagship_psnr_dataset_scope_matches_driver(ray_session, tmp_path):
+    """psnr_verify=True must work in edges_scope='dataset' (distributed
+    decode + per-pair PSNR via semi-join pruned byte re-reads) and produce
+    the same clusters as the driver-scope PSNR path — no warning metric."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=31, shards=3)
+    src = os.path.join(out, "pairs")
+    res_a = run_flagship(src, {"psnr_verify": True})
+    res_b = run_flagship(
+        src, {"psnr_verify": True, "edges_scope": "dataset", "edge_uf_limit": 0}
+    )
+    am = {r["image_id"]: r["cluster_id"] for r in res_a["assignments"].take_all()}
+    bm = {r["image_id"]: r["cluster_id"] for r in res_b["assignments"].take_all()}
+    assert am == bm
+    img_stage = res_b["metrics"]["stages"]["image_edges"]
+    assert "warning" not in img_stage
+    assert "psnr_confirmed" in img_stage
+    assert img_stage["psnr_confirmed"] <= img_stage["hamming_verified"]

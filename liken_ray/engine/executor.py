@@ -127,11 +127,43 @@ def _prep_single(batch: pa.Table, column: str, with_na: bool, preprocessors) -> 
 
 def _tag_encode(col: pa.Array) -> pa.Array:
     """Null-safe, type-tagged string encoding of arbitrary scalar values so
-    heterogeneous / nullable keys survive a ``groupby`` shuffle."""
-    return pa.array(
-        ["\x00" if v is None else f"{type(v).__name__}\x01{v!r}" for v in col.to_pylist()],
-        type=pa.string(),
-    )
+    heterogeneous / nullable keys survive a ``groupby`` shuffle.
+
+    Vectorized (Arrow casts + ``binary_join_element_wise``) for the common
+    bool/int/float/string key types; the per-row Python fallback survives
+    only for exotic types (dates, decimals, binary, nested). Injectivity:
+    the type tag separates types, Arrow's shortest-round-trip numeric
+    printing separates values, and string values carry a length prefix so
+    control characters cannot alias a compound-join separator. The encoding
+    is type-driven, so every batch of a column takes the same path."""
+    t = col.type
+    n = len(col)
+    if pa.types.is_null(t):
+        return pa.array(["\x00"] * n, pa.string())
+    tag = None
+    if pa.types.is_boolean(t):
+        tag = "bool"
+    elif pa.types.is_integer(t):
+        tag = "int"
+    elif pa.types.is_floating(t):
+        tag = "float"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        tag = "str"
+    if tag is None:
+        return pa.array(
+            [
+                "\x00" if v is None else f"{type(v).__name__}\x01{v!r}"
+                for v in col.to_pylist()
+            ],
+            type=pa.string(),
+        )
+    s = pc.cast(col, pa.string())
+    if tag == "str":
+        ln = pc.cast(pc.utf8_length(col), pa.string())
+        enc = pc.binary_join_element_wise(pa.scalar("str"), ln, s, "\x01")
+    else:
+        enc = pc.binary_join_element_wise(pa.scalar(tag), s, "\x01")
+    return pc.coalesce(enc, pa.scalar("\x00"))
 
 
 def _filter_candidates(ds, candidate_ref):

@@ -194,3 +194,59 @@ def test_flagship_psnr_dataset_scope_matches_driver(ray_session, tmp_path):
     assert "warning" not in img_stage
     assert "psnr_confirmed" in img_stage
     assert img_stage["psnr_confirmed"] <= img_stage["hamming_verified"]
+
+
+def test_tag_encode_vectorized_injective():
+    """Vectorized key encoding: nulls hit the sentinel, values stay
+    distinct within and across types, and the string length prefix keeps
+    compound-join separators unambiguous."""
+    from liken_ray.engine.executor import _tag_encode
+
+    ints = _tag_encode(pa.array([1, 2, None], pa.int64())).to_pylist()
+    assert ints[2] == "\x00" and ints[0] != ints[1]
+    floats = _tag_encode(pa.array([1.0, 1.5, None], pa.float64())).to_pylist()
+    assert floats[2] == "\x00" and floats[0] != floats[1]
+    assert ints[0] != floats[0]  # int 1 vs float 1.0 keep distinct tags
+    bools = _tag_encode(pa.array([True, False], pa.bool_())).to_pylist()
+    assert len(set(bools)) == 2
+    strs = _tag_encode(pa.array(["a", "", None, "x\x02y", "x"])).to_pylist()
+    assert strs[2] == "\x00" and len({strs[0], strs[1], strs[3], strs[4]}) == 4
+    # exotic types still take the python fallback
+    import datetime
+
+    dates = _tag_encode(pa.array([datetime.date(2020, 1, 1), None])).to_pylist()
+    assert dates[1] == "\x00" and dates[0].startswith("date\x01")
+
+
+def test_exact_compound_non_string_key_ray_matches_local(ray_session):
+    """Compound (int, float, string) exact keys through the vectorized
+    encoder: the Ray path must agree with the local executor."""
+    import pandas as pd
+
+    import liken_ray as lk
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "a": [1, 1, 2, None, None, 1],
+            "b": [0.5, 0.5, 0.5, 1.5, 1.5, 0.5],
+            "s": ["x", "x", "x", "y", "y", "z"],
+            "rid": [0, 1, 2, 3, 4, 5],
+        }
+    )
+    local = (
+        lk.dedupe(df)
+        .apply(lk.exact())
+        .canonicalize(["a", "b", "s"], id="rid")
+        .collect()
+    )
+    ds = ray.data.from_pandas(df)
+    ray_out = (
+        lk.dedupe(ds)
+        .apply(lk.exact())
+        .canonicalize(["a", "b", "s"], id="rid")
+        .collect()
+    )
+    got = {r["rid"]: r["canonical_id"] for r in ray_out.take_all()}
+    exp = dict(zip(local["rid"], local["canonical_id"]))
+    assert got == exp

@@ -67,40 +67,52 @@ def _mk_ascii_tables() -> dict[str, np.ndarray]:
 
 
 _ASCII = _mk_ascii_tables()
-_HI_CLASS_CACHE: dict[int, tuple[bool, bool, bool]] = {}
+_HI_CLASS_CACHE: dict[int, tuple[bool, bool, bool, int]] = {}
 
 
-def _classify_codepoints(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(is_digit, is_punct, is_space) for a uint32 codepoint array —
-    table lookup under 128, per-unique-codepoint python classification
-    (cached process-wide) above."""
+def _classify_codepoints(
+    cp: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(is_digit, is_punct, is_space, lowered) for a uint32 codepoint
+    array — table lookup under 128, per-unique-codepoint python
+    classification (cached process-wide) above. ``lowered`` carries
+    ``ord(c.lower())`` for every codepoint whose lowering is a single
+    codepoint (e.g. U+212A KELVIN SIGN -> 'k'); the rare multi-codepoint
+    lowerings keep the original codepoint."""
     lo = cp < 128
     is_digit = np.zeros(len(cp), dtype=bool)
     is_punct = np.zeros(len(cp), dtype=bool)
     is_space = np.zeros(len(cp), dtype=bool)
+    lowered = cp.copy()
     lo_cp = cp[lo]
     is_digit[lo] = _ASCII["digit"][lo_cp]
     is_punct[lo] = _ASCII["punct"][lo_cp]
     is_space[lo] = _ASCII["space"][lo_cp]
+    lowered[lo] = _ASCII["lower"][lo_cp]
     hi_idx = np.flatnonzero(~lo)
     if len(hi_idx):
         uniq, inv = np.unique(cp[hi_idx], return_inverse=True)
         classes = np.empty((len(uniq), 3), dtype=bool)
+        lowers = np.empty(len(uniq), dtype=np.uint32)
         for k, u in enumerate(uniq.tolist()):
             ent = _HI_CLASS_CACHE.get(u)
             if ent is None:
                 c = chr(u)
+                cl = c.lower()
                 ent = (
                     c.isdigit(),
                     not c.isalnum() and not c.isspace(),
                     bool(_WS_RE.match(c)),
+                    ord(cl) if len(cl) == 1 else u,
                 )
                 _HI_CLASS_CACHE[u] = ent
-            classes[k] = ent
+            classes[k] = ent[:3]
+            lowers[k] = ent[3]
         is_digit[hi_idx] = classes[inv, 0]
         is_punct[hi_idx] = classes[inv, 1]
         is_space[hi_idx] = classes[inv, 2]
-    return is_digit, is_punct, is_space
+        lowered[hi_idx] = lowers[inv]
+    return is_digit, is_punct, is_space, lowered
 
 
 def _seg_sums(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -162,7 +174,7 @@ def quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
             }
         )
     cp = np.frombuffer(b"".join(encs), dtype=np.uint32)
-    is_digit, is_punct, is_space = _classify_codepoints(cp)
+    is_digit, is_punct, is_space, lowered = _classify_codepoints(cp)
 
     digit_count = _seg_sums(is_digit, offsets)
     punct_count = _seg_sums(is_punct, offsets)
@@ -189,11 +201,10 @@ def quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
         # word end = next space/row-end; compute run lengths via the next
         # word-or-gap boundary: scan of nonspace runs
         run_id = np.cumsum(word_start) - 1
-        lc = cp.copy()
-        lo = lc < 128
-        lc[lo] = _ASCII["lower"][lc[lo]]
-        # only ASCII lowering matters: stopwords are ASCII; non-ASCII
-        # words can never match
+        # full per-codepoint lowering (cached in _classify_codepoints), so
+        # codepoints whose .lower() lands in ASCII (e.g. U+212A -> 'k')
+        # still match the ASCII stopword hashes
+        lc = lowered
         with np.errstate(over="ignore"):
             w_lens_all = np.bincount(run_id[nonspace], minlength=len(starts))
             powers = _hash_powers(int(w_lens_all.max()))
@@ -238,28 +249,37 @@ _LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """N-gram-marker language guess with a confidence score."""
-    texts = batch[text_col].to_pylist()
-    langs = []
-    scores = []
-    for t in texts:
-        if not t:
-            langs.append(None)
-            scores.append(0.0)
-            continue
-        tl = f" {t.lower()} "
-        best, best_score = "unknown", 0
-        for lang, markers in _LANG_MARKERS.items():
-            s = sum(tl.count(m) for m in markers)
-            if s > best_score:
-                best, best_score = lang, s
-        langs.append(best if best_score else "unknown")
-        scores.append(float(best_score))
+    """N-gram-marker language guess with a confidence score.
+
+    Vectorized: one ``utf8_lower`` + space-padding pass, then one
+    ``pc.count_substring`` per marker (30 Arrow kernel calls per batch,
+    no per-row python). Tie-breaking matches the per-row scan it
+    replaced: first language in ``_LANG_MARKERS`` order wins on equal
+    score; zero total marker hits -> ``unknown``; null/empty text ->
+    null prediction with score 0."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    padded = pc.binary_join_element_wise(" ", pc.utf8_lower(col), " ", "")
+    langs = list(_LANG_MARKERS)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, markers in enumerate(_LANG_MARKERS.values()):
+        for m in markers:
+            cnt = pc.fill_null(pc.count_substring(padded, m), 0)
+            scores[:, j] += cnt.to_numpy(zero_copy_only=False).astype(np.int64)
+    best_j = np.argmax(scores, axis=1)
+    best_s = scores[np.arange(n), best_j]
+    names = np.array(langs + ["unknown"], dtype=object)
+    pred = names[np.where(best_s > 0, best_j, len(langs))]
+    empty = ~col.is_valid().to_numpy(zero_copy_only=False) | (
+        pc.fill_null(pc.utf8_length(col), 0).to_numpy(zero_copy_only=False) == 0
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "lang_pred": pa.array(langs, pa.string()),
-            "lang_score": pa.array(scores, pa.float64()),
+            "lang_pred": pa.array(pred, pa.string(), mask=empty),
+            "lang_score": np.where(empty, 0.0, best_s.astype(np.float64)),
         }
     )
 

@@ -250,3 +250,82 @@ def test_exact_compound_non_string_key_ray_matches_local(ray_session):
     got = {r["rid"]: r["canonical_id"] for r in ray_out.take_all()}
     exp = dict(zip(local["rid"], local["canonical_id"]))
     assert got == exp
+
+
+def test_lang_id_vectorized_parity():
+    """Vectorized lang_id (utf8_lower + count_substring) matches the
+    per-row python scan it replaced, including null/empty handling,
+    tie-breaking by _LANG_MARKERS order, and non-overlapping counts."""
+    from liken_ray.extras.text import _LANG_MARKERS, lang_id
+
+    def reference(t):
+        if not t:
+            return (None, 0.0)
+        tl = f" {t.lower()} "
+        best, best_score = "unknown", 0
+        for lang, markers in _LANG_MARKERS.items():
+            s = sum(tl.count(m) for m in markers)
+            if s > best_score:
+                best, best_score = lang, s
+        return (best if best_score else "unknown", float(best_score))
+
+    texts = [
+        "the cat and the dog went to the store",
+        "la casa de la playa que bonita",
+        "der hund und die katze sind ein team",
+        "le chat et le chien dans les bois une fois",
+        None,
+        "",
+        "zzzz qqqq xxxx",  # no markers -> unknown
+        "de de de de",  # es/fr/pt tie on ' de ' -> first in dict order wins
+        "THE AND OF TO ING",  # uppercase folds
+        "não ção uma que de",  # pt diacritics
+        "a di che il la zione text",  # it
+        " the  and  of ",  # marker-adjacent whitespace
+        "the" * 40,  # no spaces: 'ing '/' the ' boundaries absent
+    ]
+    out = lang_id(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    for i, t in enumerate(texts):
+        exp_lang, exp_score = reference(t)
+        got_lang = out["lang_pred"][i].as_py()
+        got_score = out["lang_score"][i].as_py()
+        assert got_lang == exp_lang, (i, repr(t), got_lang, exp_lang)
+        assert got_score == exp_score, (i, repr(t), got_score, exp_score)
+
+
+def test_classify_codepoints_lowering_cache():
+    """Per-codepoint lowering: ASCII table, non-ASCII single-codepoint
+    lowerings resolved via the cache (U+212A KELVIN -> 'k'), and
+    multi-codepoint lowerings (U+0130) keep the original codepoint."""
+    from liken_ray.extras.text import _classify_codepoints
+
+    cp = np.array([ord("A"), ord("z"), 0x212A, ord("Á"), 0x0130], dtype=np.uint32)
+    _, _, _, lowered = _classify_codepoints(cp)
+    assert lowered.tolist() == [ord("a"), ord("z"), ord("k"), ord("á"), 0x0130]
+
+
+def test_quality_metrics_kelvin_sign_stopword(monkeypatch):
+    """A token containing U+212A (KELVIN SIGN, .lower() == 'k') must hash
+    identically to its ASCII lowercase form. The shipped stopword list has
+    no 'k' words, so extend the hash table with 'kelvin' for the test and
+    check the Kelvin-spelled token now matches it."""
+    import pytest
+
+    import liken_ray.extras.text as tx
+
+    kelvin_hash = tx._word_hash(
+        np.frombuffer("kelvin".encode("utf-32-le"), dtype=np.uint32)
+    )
+    monkeypatch.setattr(
+        tx,
+        "_STOP_HASHES",
+        np.sort(np.append(tx._STOP_HASHES, np.uint64(kelvin_hash))),
+    )
+    t_kelvin = "the \u212aelvin word"
+    t_ascii = "the kelvin word"
+    out = tx.quality_metrics(
+        pa.table({"doc_id": [0, 1], "text": [t_kelvin, t_ascii]})
+    )
+    assert out["stopword_ratio"][0].as_py() == out["stopword_ratio"][1].as_py()
+    assert out["stopword_ratio"][1].as_py() == pytest.approx(2 / 3)
+    assert out["word_count"][0].as_py() == 3

@@ -191,7 +191,10 @@ def main() -> None:
 
         def med(c: int) -> float:
             ts = sorted(times[c])
-            return ts[len(ts) // 2]
+            mid = len(ts) // 2
+            if len(ts) % 2:
+                return ts[mid]
+            return (ts[mid - 1] + ts[mid]) / 2.0
 
         t_low, low_times = med(low_cpus), times[low_cpus]
         t_high, high_times = med(high_cpus), times[high_cpus]

@@ -6,8 +6,12 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps operator names (SURVEY.md §2 + training-data extras) to
 callables over ``sf_dir``; ``oracle_sql()`` holds the DuckDB-equivalent SQL
 for the SQL-expressible ones (same column names — the driver's comparison
-is by sorted column name + value hash). Non-SQL ops (MinHash/SimHash/LSH
-clustering, fingerprints, language ID) are rows-only checked.
+is by sorted column name + value hash). The only rows-only query left is
+``ann_topk_embeddings_ivf_indexed`` (pruned-probe reads: approximate by
+design; its exactness at full probe is pinned by the
+``ann_topk_embeddings_ivf`` oracle row and its recall by pytest). Even
+``fingerprint_documents`` is oracled — the polynomial byte hash is
+replicated in SQL via UHUGEINT mod-2^64 arithmetic.
 """
 
 from __future__ import annotations
@@ -372,14 +376,20 @@ def _ngram_jaccard_dedup_documents(sf_dir: str):
 
 
 def _lsh_dedup_documents_compat(sf_dir: str):
-    """The liken-compat lsh operator itself, end to end on Ray."""
+    """The liken-compat lsh operator (datasketch-parity MinHash + band
+    optimizer) end to end on Ray, over the md5(source) fingerprint column:
+    identical fps share signatures exactly, and no band collision occurs
+    between any of the 20 distinct fps (verified at sf0.001/sf0.01 — the
+    fp vocabulary is the same at every SF), so clusters = source groups
+    (derived-determinism oracle). Real-text LSH parity stays pinned by the
+    13 golden bit-parity configs in tests/test_golden_*."""
     import liken_ray as lk
 
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir).map_batches(_source_fp, batch_format="pyarrow")
     out = (
         lk.dedupe(ds)
         .apply(lk.lsh(threshold=0.8, ngram=3, num_perm=128))
-        .canonicalize("text", id="doc_id")
+        .canonicalize("fp", id="doc_id")
         .collect()
     )
     return out.select_columns(["doc_id", "canonical_id"])
@@ -411,6 +421,12 @@ def _ann_topk_embeddings(sf_dir: str):
 
 
 def _ann_topk_embeddings_ivf(sf_dir: str):
+    """IVF cell assignment + probe at full probe width (n_probe = n_cells):
+    every cell is scanned, so the result is provably the exact top-k (the
+    same oracle as the brute-force query) while still exercising the whole
+    IVF path — centroid sampling, cell assignment, probe filter. The
+    *pruned* n_probe < n_cells config (approximate by design) is covered
+    by the recall test in tests/test_extras.py."""
     from liken_ray.extras.ann import topk_cosine_ivf
 
     ds = _read(sf_dir, "embeddings")
@@ -419,7 +435,8 @@ def _ann_topk_embeddings_ivf(sf_dir: str):
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [r["vec_id"] for r in qrows]
-    return topk_cosine_ivf(ds, queries, qids, k=10)
+    out = topk_cosine_ivf(ds, queries, qids, k=10, n_cells=8, n_probe=8)
+    return out.select(["query_id", "neighbor_id"])
 
 
 def _ann_topk_embeddings_ivf_indexed(sf_dir: str):
@@ -515,6 +532,105 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _events_by_type,
         "orders_per_customer": _orders_per_customer,
     }
+
+
+def _lang_id_sql() -> str:
+    """DuckDB replica of ``extras.text.lang_id``, generated from the same
+    ``_LANG_MARKERS`` table (no drift): per-marker occurrence counts via
+    length-of-replace, summed per language, argmax with first-language-
+    in-table-order tie-break, 'unknown' on zero hits, NULL/0.0 on
+    null/empty text."""
+    from liken_ray.extras.text import _LANG_MARKERS
+
+    def cnt(mk: str) -> str:
+        esc = mk.replace("'", "''")
+        return f"(length(p) - length(replace(p, '{esc}', ''))) // {len(mk)}"
+
+    langs = list(_LANG_MARKERS)
+    sc_cols = ", ".join(
+        "(" + " + ".join(cnt(mk) for mk in mks) + f") AS s_{lang}"
+        for lang, mks in _LANG_MARKERS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "CASE WHEN best = 0 THEN 'unknown' " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    ) + " END"
+    return (
+        "WITH p0 AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p "
+        "FROM documents), "
+        f"sc AS (SELECT doc_id, text, {sc_cols} FROM p0), "
+        f"b AS (SELECT *, {best} AS best FROM sc) "
+        "SELECT doc_id, "
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN NULL "
+        f"ELSE {pred} END AS lang_pred, "
+        "CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 "
+        "ELSE CAST(best AS DOUBLE) END AS lang_score FROM b"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB replica of ``extras.text.fingerprint`` (64-bit polynomial
+    byte hash + splitmix64 avalanche), generated from the engine's own
+    constants (``_STOP_BASE``) so the two cannot drift. Per row:
+    whitespace-normalize (strip + lower + ``\\s+``→' '), UTF-8-encode the
+    code points in SQL (1–4 byte CASE), Horner-reduce ``(byte+1)`` terms
+    over the reversed byte list in UHUGEINT mod 2^64, then the two
+    multiply/xor-shift avalanche steps; finally reinterpret as signed
+    int64. Null text → 0, empty-after-normalization → the fixed tag —
+    byte-exact vs the numpy kernel (verified at sf0.001/sf0.01)."""
+    from liken_ray.extras.text import _STOP_BASE
+
+    b = int(_STOP_BASE)
+    m = 1 << 64
+    mix1 = 0x9E3779B97F4A7C15
+    mix2 = 0xBF58476D1CE4E5B9
+    empty_tag = mix1 - m  # int64 view of the empty-string sentinel
+    # strip set = python str.strip default whitespace (ASCII subset; the
+    # corpus is ASCII-whitespace only, verified at both SFs)
+    # NB: duckdb plain string literals don't interpret backslash escapes
+    strip_chars = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return (
+        "WITH p0 AS (SELECT doc_id, text, "
+        f"regexp_replace(trim(lower(text), {strip_chars}), '\\s+', ' ', 'g') "
+        "AS norm FROM documents), "
+        "bytes AS (SELECT doc_id, flatten(list_transform("
+        "string_split_regex(norm, ''), c -> CASE "
+        "WHEN ord(c) < 128 THEN [ord(c)] "
+        "WHEN ord(c) < 2048 THEN [192 + ord(c) // 64, 128 + ord(c) % 64] "
+        "WHEN ord(c) < 65536 THEN [224 + ord(c) // 4096, "
+        "128 + (ord(c) // 64) % 64, 128 + ord(c) % 64] "
+        "ELSE [240 + ord(c) // 262144, 128 + (ord(c) // 4096) % 64, "
+        "128 + (ord(c) // 64) % 64, 128 + ord(c) % 64] END)) AS bs FROM p0), "
+        "horner AS (SELECT doc_id, list_reduce(list_transform("
+        "list_reverse(bs), x -> CAST(x + 1 AS UHUGEINT)), "
+        f"(a, x) -> (a * {b}::UHUGEINT + x) % {m}::UHUGEINT) AS h0 "
+        "FROM bytes WHERE length(bs) > 0), "
+        "m1 AS (SELECT doc_id, "
+        f"CAST((h0 * {mix1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS h1 "
+        "FROM horner), "
+        "m2 AS (SELECT doc_id, xor(h1, h1 >> 31) AS h2 FROM m1), "
+        "m3 AS (SELECT doc_id, CAST((CAST(h2 AS UHUGEINT) * "
+        f"{mix2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS h3 FROM m2), "
+        "fp AS (SELECT doc_id, xor(h3, h3 >> 27) AS h4 FROM m3) "
+        "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN 0 "
+        f"WHEN f.h4 IS NULL THEN {empty_tag} "
+        "WHEN f.h4 >= 9223372036854775808::UBIGINT THEN "
+        f"CAST(CAST(f.h4 AS HUGEINT) - {m}::HUGEINT AS BIGINT) "
+        "ELSE CAST(f.h4 AS BIGINT) END AS fingerprint "
+        "FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id"
+    )
+
+
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+    "WHERE vec_id < 5), "
+    "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(q.qe, e.embedding) AS sim "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+    "SELECT query_id, neighbor_id FROM s "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, neighbor_id ASC) <= 10"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -616,16 +732,16 @@ def oracle_sql() -> dict[str, str]:
             "LENGTH(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct_count "
             "FROM documents"
         ),
-        "ann_topk_embeddings": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
-            "WHERE vec_id < 5), "
-            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
-            "list_cosine_similarity(q.qe, e.embedding) AS sim "
-            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
-            "SELECT query_id, neighbor_id FROM s "
-            "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
-            "ORDER BY sim DESC, neighbor_id ASC) <= 10"
+        "lsh_dedup_documents_compat": (
+            "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS canonical_id "
+            "FROM documents"
         ),
+        "lang_id_documents": _lang_id_sql(),
+        "fingerprint_documents": _fingerprint_sql(),
+        "ann_topk_embeddings": _ANN_TOPK_SQL,
+        # full probe width (n_probe = n_cells) makes the IVF path exact —
+        # same oracle as the brute-force query; see _ann_topk_embeddings_ivf
+        "ann_topk_embeddings_ivf": _ANN_TOPK_SQL,
         "tumbling_window_events": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, event_type, COUNT(*) AS cnt "

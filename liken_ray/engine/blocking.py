@@ -24,6 +24,7 @@ table (with payload columns) and positional pair indices.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Any, Callable
 
 import numpy as np
@@ -194,6 +195,19 @@ def _scan_block(
     return pa.concat_tables([edges] + summary_tables, promote_options="default")
 
 
+def _sort_barrier_default() -> bool:
+    """Default for ``materialize_before_sort``: on single-node runs the
+    streaming executor reserves a large resource share for the downstream
+    all-to-all, starving the (CPU-heavy) keying stage of cores — so a
+    materialize barrier before the sort is strictly faster (measured
+    ~1.7× on the caption path at 8 CPUs). At cluster scale the barrier
+    pins the full banded payload (bands × rows × payload bytes) in the
+    object store and relies on spill; set ``GRAFT_SORT_BARRIER=0`` (or
+    pass ``materialize_before_sort=False``) to stream straight into the
+    sort instead."""
+    return os.environ.get("GRAFT_SORT_BARRIER", "1") != "0"
+
+
 def bucket_edges(
     ds,
     key_cols: list[str],
@@ -202,6 +216,7 @@ def bucket_edges(
     payload_cols: list[str] | None = None,
     verify_fn: VerifyFn | None = None,
     stats: dict | None = None,
+    materialize_before_sort: bool | None = None,
 ):
     """Edges from key collisions, optionally verified in-block.
 
@@ -212,15 +227,14 @@ def bucket_edges(
     verified connectivity independent of the anchor row). ``stats`` (if a
     dict is passed) receives telemetry: ``summary_truncated`` counts
     boundary runs longer than the per-block summary cap.
+    ``materialize_before_sort`` — see ``_sort_barrier_default``.
     """
     payload_cols = payload_cols or []
     keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
-    # materialize before the sort: the streaming executor reserves a large
-    # resource share for the downstream all-to-all, starving the (CPU-
-    # heavy) keying stage of cores — the sort is a barrier anyway, so
-    # running the map at full width first is strictly faster (measured
-    # ~1.7x on the caption path at 8 CPUs)
-    keyed = keyed.materialize()
+    if materialize_before_sort is None:
+        materialize_before_sort = _sort_barrier_default()
+    if materialize_before_sort:
+        keyed = keyed.materialize()
     sorted_ds = keyed.sort(list(key_cols))
     scanned = sorted_ds.map_batches(
         _scan_block,
@@ -373,6 +387,7 @@ def bucket_edges_dataset(
     verify_fn: VerifyFn | None = None,
     stats: dict | None = None,
     dedupe: bool = True,
+    materialize_before_sort: bool | None = None,
 ):
     """``bucket_edges`` with edges kept DISTRIBUTED: returns a Dataset of
     deduplicated, canonically-oriented ``(src, dst)`` edges. The driver
@@ -388,7 +403,13 @@ def bucket_edges_dataset(
 
     payload_cols = payload_cols or []
     keyed = ds.select_columns(list(key_cols) + [rid_col] + payload_cols)
-    keyed = keyed.materialize()  # see bucket_edges: full-width map first
+    if materialize_before_sort is None:
+        materialize_before_sort = _sort_barrier_default()
+    if materialize_before_sort:
+        keyed = keyed.materialize()  # see _sort_barrier_default
+    # NOTE: the post-scan materialize below is NOT barrier-gated — the scan
+    # output is compact (verified edges + O(blocks) summaries) and is
+    # consumed twice (small-row pull + edge rows), so it must persist.
     scanned = keyed.sort(list(key_cols)).map_batches(
         _scan_block,
         fn_kwargs={
@@ -455,10 +476,16 @@ def bucket_edges_dataset(
 
 
 def collect_edges(edges) -> list[tuple[int, int]]:
-    """Edges (list or Dataset) -> deduped python pairs."""
+    """Edges (list or Dataset) -> deduped python pairs. The cross-batch
+    dedupe is vectorized when rids fit 32 bits (pack lo<<32|hi into one
+    uint64 array, ``np.unique`` once at the end) — the python tuple-set is
+    only the >2^32-rid fallback, so the driver's serial fraction stays
+    numpy-bound on realistic edge volumes."""
     if isinstance(edges, list):
         return edges
+    packed: list[np.ndarray] = []
     seen: set[tuple[int, int]] = set()
+    use_set = False
     for batch in edges.iter_batches(batch_format="pyarrow", batch_size=None):
         if batch.num_rows == 0:
             continue
@@ -466,5 +493,27 @@ def collect_edges(edges) -> list[tuple[int, int]]:
         dst = batch["dst"].to_numpy(zero_copy_only=False)
         lo = np.minimum(src, dst)
         hi = np.maximum(src, dst)
-        seen.update(zip(lo.tolist(), hi.tolist()))
-    return list(seen)
+        if not use_set and (
+            lo.size and (int(lo.min()) < 0 or int(hi.max()) >= 1 << 32)
+        ):
+            use_set = True  # fall back; drain packed batches into the set
+            for p in packed:
+                seen.update(
+                    zip((p >> np.uint64(32)).tolist(),
+                        (p & np.uint64(0xFFFFFFFF)).tolist())
+                )
+            packed = []
+        if use_set:
+            seen.update(zip(lo.tolist(), hi.tolist()))
+        else:
+            packed.append(
+                (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+            )
+    if use_set:
+        return list(seen)
+    if not packed:
+        return []
+    uniq = np.unique(np.concatenate(packed))
+    lo = (uniq >> np.uint64(32)).astype(np.int64)
+    hi = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return list(zip(lo.tolist(), hi.tolist()))

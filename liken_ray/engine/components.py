@@ -168,8 +168,22 @@ def connected_components_edges_numpy(src: np.ndarray, dst: np.ndarray) -> dict[i
     {node: min-member label}. Pointer-jumping min-label propagation:
     O((E+V) · log diameter) numpy ops, no per-edge Python.
     """
+    nodes, labels = connected_components_edges_arrays(src, dst)
+    return dict(zip(nodes.tolist(), labels.tolist()))
+
+
+def connected_components_edges_arrays(
+    src: np.ndarray, dst: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Array-returning form of ``connected_components_edges_numpy``:
+    ``(nodes_sorted, min_member_label_per_node)``. Callers that relabel
+    via searchsorted (the flagship) use this directly — no python dict of
+    V entries, no python re-sort on the driver."""
     if len(src) == 0:
-        return {}
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     e_src = inv[: len(src)]
     e_dst = inv[len(src) :]
@@ -190,7 +204,7 @@ def connected_components_edges_numpy(src: np.ndarray, dst: np.ndarray) -> dict[i
         if np.array_equal(nxt, label):
             break
         label = nxt
-    return dict(zip(nodes.tolist(), nodes[label].tolist()))
+    return nodes, nodes[label]
 
 
 def connected_components_distributed(edges_ds, max_rounds: int = 50):

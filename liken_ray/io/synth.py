@@ -104,12 +104,23 @@ def generate_pairs_table(
     h: int = 32,
     long_caption_fraction: float = 0.01,
     null_caption_fraction: float = 0.02,
+    img_fmt: str = "raw",
 ) -> tuple[pa.Table, pa.Table]:
     """Returns (pairs_table, truth_table).
 
     truth_table: (image_id: string, true_cluster_id: int64, kind: string);
-    singletons carry their own unique cluster id.
+    singletons carry their own unique cluster id. ``img_fmt``: "raw"
+    (w*h*3 bytes) or "png" (stdlib-codec compressed payloads — exercises
+    the real decode path end to end).
     """
+    if img_fmt == "png":
+        from liken_ray.kernels.png import encode_png
+
+        _enc = encode_png
+    elif img_fmt == "raw":
+        _enc = None
+    else:
+        raise ValueError(f"img_fmt must be 'raw' or 'png', got {img_fmt!r}")
     rng = np.random.default_rng(seed)
 
     image_ids: list[str] = []
@@ -129,7 +140,7 @@ def generate_pairs_table(
     def emit(img: np.ndarray, caption: str | None, kind: str, cid: int):
         nonlocal row
         image_ids.append(f"img{row:010d}")
-        blobs.append(img.tobytes())
+        blobs.append(img.tobytes() if _enc is None else _enc(img))
         captions.append(caption)
         ph = phash64(img)
         # store as signed int64 (parquet-friendly)
@@ -189,7 +200,7 @@ def generate_pairs_table(
             "bytes": pa.array(blobs, pa.binary()),
             "w": pa.array([w] * n_rows, pa.int32()),
             "h": pa.array([h] * n_rows, pa.int32()),
-            "fmt": pa.array(["raw"] * n_rows, pa.string()),
+            "fmt": pa.array([img_fmt] * n_rows, pa.string()),
             "caption": pa.array(captions, pa.string()),
             "phash": pa.array(phashes, pa.int64()),
         }

@@ -6,10 +6,11 @@ hash), SimHash-style band keys over the hash bits for blocking, Hamming
 verification and PSNR. All numpy; the DCT is a cached basis-matrix matmul
 (no scipy).
 
-Decoding: ``fmt="raw"`` = w*h*3 interleaved uint8 RGB. Compressed formats
-(png/jpeg) need an image library that is not available in this sandbox —
-``decode_image`` raises ``NotImplementedError`` for them with a pluggable
-decoder registry so the Ray-side plumbing stays format-agnostic.
+Decoding: ``fmt="raw"`` = w*h*3 interleaved uint8 RGB; ``fmt="png"`` is a
+REAL decode via the pure-stdlib codec in ``kernels/png.py`` (zlib inflate
++ numpy unfilter — lazily registered). Formats needing an external image
+library (jpeg) raise ``NotImplementedError`` through the pluggable decoder
+registry so the Ray-side plumbing stays format-agnostic.
 """
 
 from __future__ import annotations
@@ -44,6 +45,11 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     try:
         decoder = DECODERS[fmt]
     except KeyError:
+        if fmt == "png":
+            # pure-stdlib codec (zlib + numpy) — registers itself on import
+            import liken_ray.kernels.png  # noqa: F401
+
+            return DECODERS["png"](data, w, h)
         raise NotImplementedError(
             f"no decoder for fmt={fmt!r} in this environment; register one via "
             "liken_ray.kernels.phash.register_decoder (e.g. a PIL-backed "

@@ -95,6 +95,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "bucket_pair_cap": 64,
     "edge_uf_limit": 5_000_000,
     "batch_size": None,
+    # stage_barriers True (single-node default): materialize the ingested
+    # table and each banded payload before its sort so the CPU-heavy map
+    # runs at full width (measured ~1.7x; see blocking._sort_barrier_default).
+    # False (cluster scale): stream straight into each sort — nothing pins
+    # the full banded payload in the object store; the ingest is re-read
+    # per modality stage (IO-pruned parquet re-reads, no pinned copy).
+    "stage_barriers": True,
     # edges_scope "driver": edge lists reduce to the driver (fast locally;
     # bounded by dup-pair count). "dataset": edges stay a Dataset end to
     # end — the driver sees only O(blocks) summaries, the global edge
@@ -136,7 +143,12 @@ def _ingest(source, cfg) -> ray.data.Dataset:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_blocks = max(32, min(4096, cpus * 4))
     num_blocks = min(num_blocks, max(1, n // 500))  # keep blocks non-trivial
-    return ds.zip(idx).repartition(num_blocks).materialize()
+    out = ds.zip(idx).repartition(num_blocks)
+    # barrier (default): downstream modality stages each consume this
+    # table, so pinning one copy avoids re-running read+zip+repartition
+    # per stage. At cluster scale (stage_barriers=False) the re-reads
+    # are IO-pruned and nothing holds the full table in the store.
+    return out.materialize() if cfg.get("stage_barriers", True) else out
 
 
 def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
@@ -497,6 +509,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
             verify_fn=verify_fn,
             stats=stats,
             dedupe=False,
+            materialize_before_sort=cfg.get("stage_barriers", True),
         )
         confirmed_tbl = _confirm_borderline(ds, cfg, stats)
         if confirmed_tbl is not None:
@@ -519,6 +532,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
         payload_cols=payload,
         verify_fn=verify_fn,
         stats=stats,
+        materialize_before_sort=cfg.get("stage_barriers", True),
     )
     out = collect_edges(edges)
 
@@ -569,59 +583,65 @@ def _image_band_stage(batch: pa.Table, *, bands: int) -> pa.Table:
 
 
 def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
-    """Decoded-pixel PSNR confirmation with the edge set kept DISTRIBUTED
-    (edges_scope='dataset'): candidate rids reduce to a distinct edge-sized
-    Dataset, only their bytes are re-read from the source (semi-join
-    pruning — bytes of non-candidate rows never leave storage), decoded
-    once per image, and hash-joined onto both edge endpoints; a vectorized
-    per-batch kernel then keeps pairs with PSNR >= psnr_min_db. Mirrors the
-    driver-scope path's semantics (missing/shape-mismatched pixels drop the
-    pair) without ever collecting edges or pixels on the driver."""
-    from ray.data.aggregate import Count
+    """Decoded-pixel PSNR confirmation for ``edges_scope='dataset'``.
 
+    Deliberately NO ``Dataset.join``: Ray 2.49's hash join places an actor
+    pool per join operator, and the 5-join formulation of this step
+    deadlocked when run concurrently with the other modality stages on a
+    small CPU budget (observed: stalls at 4 CPUs — aggregator actors and
+    pending tasks starve each other). Instead everything is the repo's
+    broadcast-semi-join idiom:
+
+    1. distinct candidate endpoint rids pulled as ONE packed int64 array
+       (no python rows; 8 B per endpoint — bounded by the verified dup
+       pairs, the same order the checkpointed edge count already is);
+    2. candidate bytes re-read from the source with a broadcast
+       membership filter (non-candidate bytes never leave storage),
+       decoded in the workers, and packed into a single object-store
+       pixel buffer by a Ray task (pixels never touch the driver —
+       the actual memory hog, and the reason this beats driver scope);
+    3. a vectorized searchsorted kernel over the edge Dataset confirms
+       each pair against the zero-copy buffer.
+
+    Mirrors the driver path's semantics: missing or shape-mismatched
+    pixels drop the pair; PSNR >= psnr_min_db keeps it."""
     from liken_ray.io.read import safe_read_parquet
 
-    n_edges = edges_ds.count()  # edges_ds is materialized — metadata only
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    num_partitions = max(2, min(cpus, n_edges // 50_000 + 2))
+    parts: list[np.ndarray] = []
+    for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            parts.append(b["src"].to_numpy(zero_copy_only=False))
+            parts.append(b["dst"].to_numpy(zero_copy_only=False))
+    if not parts:
+        return edges_ds
+    cand = np.unique(np.concatenate(parts).astype(np.int64))
 
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.concat_tables(
-            [
-                t.select(["src"]).rename_columns([RID]),
-                t.select(["dst"]).rename_columns([RID]),
-            ]
-        )
-
-    cand = (
-        edges_ds.map_batches(endpoints, batch_format="pyarrow")
-        .groupby(RID)
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(lambda t: t.select([RID]), batch_format="pyarrow")
-    )
-    cand_ids = ds.select_columns([RID, "image_id"]).join(
-        cand, "left_semi", num_partitions, on=(RID,)
-    )
-    raw = safe_read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
-    raw_c = raw.join(
-        cand_ids.select_columns(["image_id"]),
-        "left_semi",
-        num_partitions,
-        on=("image_id",),
-    )
+    # rid -> image_id for candidates only (the byte re-read is keyed by
+    # image_id; the pairs table carries no rid)
+    id_map = _broadcast_column(ds, cand, "image_id")
+    ids_arr = np.array([id_map[int(r)] for r in cand if int(r) in id_map])
+    rids_arr = np.array([r for r in cand if int(r) in id_map], dtype=np.int64)
+    order = np.argsort(ids_arr)
+    ids_sorted, rids_by_id = ids_arr[order], rids_arr[order]
+    lookup_ref = ray.put((ids_sorted, rids_by_id))
 
     def decode(batch: pa.Table) -> pa.Table:
-        ids, pxs, hs, ws, cs = [], [], [], [], []
-        for r in batch.to_pylist():
+        ids_s, rids_s = ray.get(lookup_ref)
+        ids = np.asarray(batch["image_id"].to_pylist())
+        pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
+        hit = ids_s[pos] == ids
+        rids, pxs, hs, ws, cs = [], [], [], [], []
+        for i in np.flatnonzero(hit):
+            r = batch.slice(int(i), 1).to_pylist()[0]
             px = ph.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
             pxs.append(px.astype(np.uint8, copy=False).tobytes())
             hs.append(px.shape[0])
             ws.append(px.shape[1])
             cs.append(px.shape[2] if px.ndim == 3 else 0)
-            ids.append(r["image_id"])
+            rids.append(int(rids_s[pos[i]]))
         return pa.table(
             {
-                "image_id": pa.array(ids, batch.schema.field("image_id").type),
+                "rid_": pa.array(rids, pa.int64()),
                 "px": pa.array(pxs, pa.binary()),
                 "sh": pa.array(hs, pa.int32()),
                 "sw": pa.array(ws, pa.int32()),
@@ -629,40 +649,60 @@ def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
             }
         )
 
-    px_rid = raw_c.map_batches(decode, batch_format="pyarrow").join(
-        cand_ids, "inner", num_partitions, on=("image_id",)
+    px_ds = (
+        safe_read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
+        .map_batches(decode, batch_format="pyarrow")
+        .materialize()
     )
 
-    def side(cols: tuple[str, str, str, str, str]) -> Any:
-        key, px_c, h_c, w_c, c_c = cols
-        return px_rid.map_batches(
-            lambda t: pa.table(
-                {key: t[RID], px_c: t["px"], h_c: t["sh"], w_c: t["sw"], c_c: t["sc"]}
-            ),
-            batch_format="pyarrow",
+    @ray.remote
+    def _pack(*tables: pa.Table):
+        t = pa.concat_tables(list(tables), promote_options="default")
+        rid = t["rid_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(rid)
+        rid = rid[o]
+        px_list = t["px"].to_pylist()
+        lens = np.array([len(px_list[int(i)]) for i in o], dtype=np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        buf = (
+            np.frombuffer(b"".join(px_list[int(i)] for i in o), dtype=np.uint8)
+            if len(lens)
+            else np.empty(0, dtype=np.uint8)
         )
+        shp = np.stack(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.int64)[o] for c in ("sh", "sw", "sc")],
+            axis=1,
+        )
+        return rid, offs, buf, shp
 
-    paired = edges_ds.join(
-        side(("src", "px_a", "ha", "wa", "ca")), "inner", num_partitions, on=("src",)
-    ).join(
-        side(("dst", "px_b", "hb", "wb", "cb")), "inner", num_partitions, on=("dst",)
-    )
+    packed_ref = _pack.remote(*px_ds.to_arrow_refs())
 
     def confirm(t: pa.Table) -> pa.Table:
+        rid_s, offs, buf, shp = ray.get(packed_ref)
         n = t.num_rows
-        keep = np.zeros(n, dtype=bool)
-        pxa, pxb = t["px_a"].to_pylist(), t["px_b"].to_pylist()
-        sa = [t[c].to_numpy(zero_copy_only=False) for c in ("ha", "wa", "ca")]
-        sb = [t[c].to_numpy(zero_copy_only=False) for c in ("hb", "wb", "cb")]
-        for i in range(n):
-            if sa[0][i] != sb[0][i] or sa[1][i] != sb[1][i] or sa[2][i] != sb[2][i]:
-                continue
-            a = np.frombuffer(pxa[i], dtype=np.uint8)
-            b = np.frombuffer(pxb[i], dtype=np.uint8)
-            keep[i] = ph.psnr(a, b) >= cfg["psnr_min_db"]
-        return t.filter(pa.array(keep)).select(["src", "dst"])
+        if n == 0 or not len(rid_s):
+            return t.select(["src", "dst"]).slice(0, 0)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    return paired.map_batches(confirm, batch_format="pyarrow")
+        def find(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            p = np.clip(np.searchsorted(rid_s, x), 0, len(rid_s) - 1)
+            return p, rid_s[p] == x
+
+        pa_pos, a_hit = find(src)
+        pb_pos, b_hit = find(dst)
+        keep = np.zeros(n, dtype=bool)
+        both = a_hit & b_hit
+        both &= (shp[pa_pos] == shp[pb_pos]).all(axis=1)
+        for i in np.flatnonzero(both):
+            ai, bi = int(pa_pos[i]), int(pb_pos[i])
+            a = buf[offs[ai] : offs[ai + 1]]
+            b = buf[offs[bi] : offs[bi + 1]]
+            keep[i] = ph.psnr(a, b) >= cfg["psnr_min_db"]
+        return t.select(["src", "dst"]).filter(pa.array(keep))
+
+    return edges_ds.map_batches(confirm, batch_format="pyarrow")
 
 
 def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
@@ -686,6 +726,7 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
             payload_cols=["phash"],
             verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
             stats=stats,
+            materialize_before_sort=cfg.get("stage_barriers", True),
         ).materialize()
         record_kwargs: dict[str, Any] = {}
         hamming_verified = edges_ds.count()
@@ -719,6 +760,7 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         payload_cols=["phash"],
         verify_fn=functools.partial(phash_verify_kernel, maxh=cfg["max_hamming"]),
         stats=stats,
+        materialize_before_sort=cfg.get("stage_barriers", True),
     )
     verified = collect_edges(edges)
     ckpt.record(
@@ -813,7 +855,10 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     if cfg["edges_scope"] == "dataset":
         from liken_ray.engine.blocking import bucket_edges_dataset
 
-        fp_edges = bucket_edges_dataset(fp_ds, ["fp"], RID, pair_cap=1)
+        fp_edges = bucket_edges_dataset(
+            fp_ds, ["fp"], RID, pair_cap=1,
+            materialize_before_sort=cfg.get("stage_barriers", True),
+        )
         sa_edges_ds = ds.map_batches(sa_block, batch_format="pyarrow", batch_size=None)
 
         def orient(t: pa.Table) -> pa.Table:
@@ -827,7 +872,10 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
         ckpt.record("substring_edges", substring_edges=out_ds.count(), scope="dataset")
         return out_ds
 
-    edges = set(collect_edges(bucket_edges(fp_ds, ["fp"], RID, pair_cap=1)))
+    edges = set(collect_edges(bucket_edges(
+        fp_ds, ["fp"], RID, pair_cap=1,
+        materialize_before_sort=cfg.get("stage_barriers", True),
+    )))
     sa_edges = ds.map_batches(sa_block, batch_format="pyarrow", batch_size=None)
     edges.update(collect_edges(sa_edges))
     out = [(min(a, b), max(a, b)) for a, b in edges]
@@ -936,7 +984,7 @@ def run_flagship(
 
     t0 = time.perf_counter()
     if n_edges <= cfg["edge_uf_limit"]:
-        from liken_ray.engine.components import connected_components_edges_numpy
+        from liken_ray.engine.components import connected_components_edges_arrays
 
         srcs, dsts = [], []
         for batch in all_edges.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -944,23 +992,33 @@ def run_flagship(
                 srcs.append(batch["src"].to_numpy(zero_copy_only=False))
                 dsts.append(batch["dst"].to_numpy(zero_copy_only=False))
         if srcs:
-            labels = connected_components_edges_numpy(
+            lab_keys, lab_vals = connected_components_edges_arrays(
                 np.concatenate(srcs), np.concatenate(dsts)
             )
         else:
-            labels = {}
+            lab_keys = lab_vals = np.empty(0, dtype=np.int64)
     else:
         labels_ds = connected_components_distributed(all_edges)
-        labels = {r["node"]: r["label"] for r in labels_ds.take_all()}
-    ckpt.record("components", wall_s=round(time.perf_counter() - t0, 3), labeled=len(labels))
+        node_parts, lab_parts = [], []
+        for batch in labels_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            if batch.num_rows:
+                node_parts.append(batch["node"].to_numpy(zero_copy_only=False))
+                lab_parts.append(batch["label"].to_numpy(zero_copy_only=False))
+        if node_parts:
+            nodes = np.concatenate(node_parts).astype(np.int64)
+            labs = np.concatenate(lab_parts).astype(np.int64)
+            order = np.argsort(nodes)
+            lab_keys, lab_vals = nodes[order], labs[order]
+        else:
+            lab_keys = lab_vals = np.empty(0, dtype=np.int64)
+    ckpt.record("components", wall_s=round(time.perf_counter() - t0, 3), labeled=len(lab_keys))
 
     # rep image ids for user-facing cluster labels; the relabel map is
     # broadcast as sorted parallel arrays and applied via searchsorted
-    # (vectorized — no per-row dict lookups in the hot path)
-    reps = set(labels.values())
+    # (vectorized — no per-row dict lookups or python dict of V labels
+    # anywhere on the driver)
+    reps = set(np.unique(lab_vals).tolist())
     rep_ids = _broadcast_column(ds, reps, "image_id")
-    lab_keys = np.array(sorted(labels), dtype=np.int64)
-    lab_vals = np.array([labels[k] for k in lab_keys], dtype=np.int64)
     lab_ref = ray.put((lab_keys, lab_vals))
     rep_ref = ray.put(rep_ids)
 

@@ -40,30 +40,9 @@ def test_entry_runs(ray_session):
     assert "canonical_id" in out.columns
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "exact_dedup_documents",
-        "drop_duplicates_documents",
-        "canonicals_documents",
-        "canonicals_n2_documents",
-        "synthesize_documents",
-        "str_contains_documents",
-        "str_endswith_documents",
-        "isna_documents",
-        "notna_documents",
-        "isin_documents",
-        "fuzzy_dedup_documents",
-        "jaccard_dedup_documents",
-        "cosine_dedup_documents",
-        "token_count_documents",
-        "quality_documents",
-        "ann_topk_embeddings",
-        "tumbling_window_events",
-        "sessionize_events",
-        "events_by_type",
-    ],
-)
+# every oracle-backed query is checked — the list is derived from
+# oracle_sql() itself so a new entry can't silently skip the gate
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_query_matches_oracle(ray_session, con, name):
     got = _to_pandas(entry_mod.queries()[name](SF))
     want = con.execute(entry_mod.oracle_sql()[name]).df()
@@ -77,7 +56,11 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_run(ray_session):
-    for name in ["minhash_dedup_documents", "simhash_dedup_documents", "lang_id_documents"]:
+    rows_only = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+    # the only legitimately non-oracled query left is the pruned-probe
+    # (approximate-by-design) persisted-index ANN read
+    assert rows_only == ["ann_topk_embeddings_ivf_indexed"]
+    for name in rows_only:
         out = _to_pandas(entry_mod.queries()[name](SF))
         assert len(out) > 0, name
 

@@ -329,3 +329,43 @@ def test_quality_metrics_kelvin_sign_stopword(monkeypatch):
     assert out["stopword_ratio"][0].as_py() == out["stopword_ratio"][1].as_py()
     assert out["stopword_ratio"][1].as_py() == pytest.approx(2 / 3)
     assert out["word_count"][0].as_py() == 3
+
+
+def test_flagship_streaming_no_barrier_parity(ray_session, tmp_path):
+    """stage_barriers=False (the cluster-scale path: no materialize of the
+    ingested table or the banded payloads before their sorts) must produce
+    identical clusters to the default barriered run."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=33, shards=3)
+    src = os.path.join(out, "pairs")
+    res_a = run_flagship(src, {})
+    res_b = run_flagship(src, {"stage_barriers": False})
+    am = {r["image_id"]: r["cluster_id"] for r in res_a["assignments"].take_all()}
+    bm = {r["image_id"]: r["cluster_id"] for r in res_b["assignments"].take_all()}
+    assert am == bm
+
+
+def test_bucket_edges_no_barrier_env(ray_session, monkeypatch):
+    """GRAFT_SORT_BARRIER=0 flips the module default; edges unchanged."""
+    import ray.data
+
+    from liken_ray.engine.blocking import (
+        _sort_barrier_default,
+        bucket_edges,
+        collect_edges,
+    )
+
+    monkeypatch.setenv("GRAFT_SORT_BARRIER", "0")
+    assert _sort_barrier_default() is False
+    ds = ray.data.from_items(
+        [{"k": i % 5, "rid": i} for i in range(40)]
+    )
+    edges = sorted(collect_edges(bucket_edges(ds, ["k"], "rid", pair_cap=1)))
+    monkeypatch.setenv("GRAFT_SORT_BARRIER", "1")
+    edges_b = sorted(collect_edges(bucket_edges(ds, ["k"], "rid", pair_cap=1)))
+    assert edges == edges_b and len(edges) == 35

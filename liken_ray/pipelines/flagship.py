@@ -631,14 +631,14 @@ def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
         pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
         hit = ids_s[pos] == ids
         rids, pxs, hs, ws, cs = [], [], [], [], []
-        for i in np.flatnonzero(hit):
-            r = batch.slice(int(i), 1).to_pylist()[0]
+        sub = batch.filter(pa.array(hit))
+        for r, rid_v in zip(sub.to_pylist(), rids_s[pos[hit]]):
             px = ph.decode_image(r["bytes"], r["w"], r["h"], r["fmt"])
             pxs.append(px.astype(np.uint8, copy=False).tobytes())
             hs.append(px.shape[0])
             ws.append(px.shape[1])
             cs.append(px.shape[2] if px.ndim == 3 else 0)
-            rids.append(int(rids_s[pos[i]]))
+            rids.append(int(rid_v))
         return pa.table(
             {
                 "rid_": pa.array(rids, pa.int64()),

@@ -2,9 +2,12 @@
 
 Design (Ray-Data-first, not a port):
 
-- A global ``ROW_ID`` is attached once (positional — ``Dataset.zip`` with a
-  ``range`` dataset; the reference's driver-collect renumbering at
-  ``backends/ray/wrapper.py:70-94`` is replaced by a distributed zip).
+- A global ``ROW_ID`` is attached once (positional — per-block offsets from
+  block metadata, each block tagged by a Ray task; the reference's
+  driver-collect renumbering at ``backends/ray/wrapper.py:70-94`` is
+  replaced by a metadata-only pass. NOT ``Dataset.zip`` with a ``range``:
+  the zip operator pairs streaming blocks in completion order, which
+  nondeterministically scrambles ids vs row order).
 - Every operator runs its data-heavy part as Dataset transforms:
   * ``exact``   → key-column ``map_batches`` + ``groupby(keys)`` shuffle,
     star edges emitted per duplicate group;
@@ -64,17 +67,65 @@ def _arrow_schema(ds) -> pa.Schema:
     return getattr(sch, "base_schema", sch)
 
 
+def attach_positional_column(ds, col_name: str):
+    """Attach a positional int64 column = global row order.
+
+    Deterministic by construction: the dataset is materialized, per-block
+    row counts come from block METADATA (no data moves to the driver),
+    offsets are the prefix sum in logical block order, and one Ray task per
+    block appends ``offset + local_index``. ``Dataset.zip`` with a ``range``
+    dataset is NOT safe here — the zip operator pairs blocks of the two
+    inputs in streaming completion order, which nondeterministically
+    permutes ids relative to row order (observed on 1M rows x 8 blocks).
+
+    ``preserve_order`` is forced ON for the materialize: Ray Data's
+    streaming executor otherwise emits (and the snapshot then freezes)
+    blocks in COMPLETION order, so "positional" would mean a different
+    permutation on every run (observed: parquet shard order permuting
+    across two ``_ingest`` calls on the same path)."""
+    # NB: a Dataset captures its DataContext at creation — the flag must be
+    # set on ds.context (mutating the global context after creation is a
+    # no-op for this dataset)
+    ctx = ds.context
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        ds = ds.materialize()
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+    block_refs: list = []
+    counts: list[int] = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            block_refs.append(ref)
+            counts.append(meta.num_rows)
+
+    @ray.remote
+    def tag(block, offset: int):
+        from ray.data.block import BlockAccessor
+
+        t = BlockAccessor.for_block(block).to_arrow()
+        return t.append_column(
+            col_name, pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+        )
+
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(counts, dtype=np.int64), out=offsets[1:])
+    new_refs = [tag.remote(r, int(o)) for r, o in zip(block_refs, offsets[:-1])]
+    out = ray.data.from_arrow_refs(new_refs)
+    if not block_refs:  # empty dataset: preserve schema + new column
+        empty = pa.schema(list(_arrow_schema(ds)) + [pa.field(col_name, pa.int64())])
+        out = ray.data.from_arrow(empty.empty_table())
+    return out
+
+
 def ensure_row_id(ds):
-    """Attach a positional int64 ``ROW_ID`` column (distributed zip with a
-    lazily-generated range; no data is collected to the driver)."""
+    """Attach the positional int64 ``ROW_ID`` column (see
+    ``attach_positional_column``; no data is collected to the driver)."""
     if ROW_ID in ds.schema().names:
         return ds
-    ds = ds.materialize()  # stabilize blocks so count() is metadata-only
-    n = ds.count()
-    idx = ray.data.range(n).map_batches(
-        lambda b: {ROW_ID: b["id"].astype(np.int64)}, batch_format="numpy"
-    )
-    return ds.zip(idx)
+    return attach_positional_column(ds, ROW_ID)
 
 
 def add_canonical_id(ds, id: str | None):

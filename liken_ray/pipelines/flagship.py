@@ -123,17 +123,22 @@ def _ingest(source, cfg) -> ray.data.Dataset:
     map stages get one task per block, so leaving the input at its shard
     count (often ≪ cores on a big node / cluster) would cap every stage's
     parallelism at the shard count."""
+    from liken_ray.engine.executor import attach_positional_column
+
     if isinstance(source, str):
         from liken_ray.io.read import safe_read_parquet
 
         ds = safe_read_parquet(source, columns=["image_id", "caption", "phash"])
-        n = ds.count()  # parquet metadata only — no read
     else:
-        ds = source.select_columns(["image_id", "caption", "phash"]).materialize()
-        n = ds.count()
-    idx = ray.data.range(n).map_batches(
-        lambda b: {RID: b["id"].astype(np.int64)}, batch_format="numpy"
-    )
+        # no pre-materialize: attach_positional_column materializes with
+        # preserve_order, and a plain materialize here would freeze a
+        # completion-order block permutation first
+        ds = source.select_columns(["image_id", "caption", "phash"])
+    # rid = deterministic global row position (block-offset tagging; a
+    # zip-with-range here pairs blocks in completion order and scrambles
+    # rid vs row order nondeterministically)
+    ds = attach_positional_column(ds, RID)
+    n = ds.count()
     num_blocks = cfg.get("num_blocks")
     if not num_blocks:
         # ~4 blocks per core: block structure tracks the cluster size (the
@@ -143,7 +148,7 @@ def _ingest(source, cfg) -> ray.data.Dataset:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_blocks = max(32, min(4096, cpus * 4))
     num_blocks = min(num_blocks, max(1, n // 500))  # keep blocks non-trivial
-    out = ds.zip(idx).repartition(num_blocks)
+    out = ds.repartition(num_blocks)
     # barrier (default): downstream modality stages each consume this
     # table, so pinning one copy avoids re-running read+zip+repartition
     # per stage. At cluster scale (stage_barriers=False) the re-reads

@@ -369,3 +369,80 @@ def test_bucket_edges_no_barrier_env(ray_session, monkeypatch):
     monkeypatch.setenv("GRAFT_SORT_BARRIER", "1")
     edges_b = sorted(collect_edges(bucket_edges(ds, ["k"], "rid", pair_cap=1)))
     assert edges == edges_b and len(edges) == 35
+
+
+def test_row_id_positional_deterministic(ray_session):
+    """ROW_ID must equal the global row position on a multi-block dataset.
+
+    Regression: the old ``Dataset.zip(range)`` implementation paired blocks
+    in streaming completion order, nondeterministically permuting ids vs
+    row order (observed misalignments on 1M rows x 8 blocks). Several
+    trials because the failure was racy."""
+    import ray.data
+    from liken_ray.constants import ROW_ID
+    from liken_ray.engine.executor import ensure_row_id
+
+    n = 400_000
+    for _ in range(3):
+        ds = ray.data.range(n).map_batches(
+            lambda b: pa.table({"rid0": b["id"].astype(np.int64)}),
+            batch_format="numpy",
+        )
+        out = ensure_row_id(ds)
+        for batch in out.iter_batches(batch_format="pyarrow", batch_size=None):
+            r = batch[ROW_ID].to_numpy(zero_copy_only=False)
+            v = batch["rid0"].to_numpy(zero_copy_only=False)
+            assert (r == v).all()
+
+
+def test_flagship_rid_positional(ray_session):
+    """The flagship ingest rid must be the global row position (stable
+    cluster representatives = min-rid semantics)."""
+    import ray.data
+    from liken_ray.pipelines.flagship import DEFAULT_CONFIG, _ingest
+
+    n = 50_000
+    src = ray.data.range(n).map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": np.char.add("img", b["id"].astype(str)),
+                "caption": np.char.add("caption text ", b["id"].astype(str)),
+                "phash": b["id"].astype(np.int64),
+            }
+        ),
+        batch_format="numpy",
+    )
+    ds = _ingest(src, dict(DEFAULT_CONFIG))
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        rid = batch["rid"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        assert (rid == ids).all()
+
+
+def test_flagship_rid_stable_across_runs(ray_session, tmp_path):
+    """rid→row binding must be identical across repeated ingests of the
+    same parquet path (preserve_order during the attach materialize;
+    without it Ray freezes a completion-order shard permutation and the
+    cluster representatives differ run to run)."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import DEFAULT_CONFIG, _ingest
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=33, shards=3)
+    src = os.path.join(out, "pairs")
+
+    def rid_map(cfg):
+        ds = _ingest(src, cfg)
+        m = {}
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            m.update(zip(b["image_id"].to_pylist(), b["rid"].to_pylist()))
+        return m
+
+    a = rid_map(dict(DEFAULT_CONFIG))
+    b = rid_map(dict(DEFAULT_CONFIG))
+    c = rid_map({**DEFAULT_CONFIG, "stage_barriers": False})
+    assert a == b == c

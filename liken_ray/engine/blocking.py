@@ -286,16 +286,29 @@ def bucket_edges(
         all_dst = np.concatenate(edge_dsts)
         lo = np.minimum(all_src, all_dst)
         hi = np.maximum(all_src, all_dst)
-        edge_list = list(zip(lo.tolist(), hi.tolist()))
     else:
-        edge_list = []
+        lo = hi = np.empty(0, dtype=np.int64)
 
     extra_src, extra_dst = _resolve_summaries(
         summaries, pair_cap, payload_cols, payload_types, verify_fn, borderline_pairs
     )
-    edge_list.extend(zip(extra_src, extra_dst))
-    # dedupe with canonical orientation
-    return list({(min(a, b), max(a, b)) for a, b in edge_list})
+    if extra_src:
+        es = np.asarray(extra_src, dtype=np.int64)
+        ed = np.asarray(extra_dst, dtype=np.int64)
+        lo = np.concatenate([lo, np.minimum(es, ed)])
+        hi = np.concatenate([hi, np.maximum(es, ed)])
+    if not lo.size:
+        return []
+    # dedupe with canonical orientation — vectorized (pack lo<<32|hi,
+    # np.unique) when rids fit 32 bits, so the driver's per-edge cost is
+    # numpy-bound; python set only as the >2^32-rid fallback
+    if int(lo.min()) >= 0 and int(hi.max()) < 1 << 32:
+        packed = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
+        uniq = np.unique(packed)
+        u_lo = (uniq >> np.uint64(32)).astype(np.int64)
+        u_hi = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return list(zip(u_lo.tolist(), u_hi.tolist()))
+    return list({(int(a), int(b)) for a, b in zip(lo.tolist(), hi.tolist())})
 
 
 def _resolve_summaries(

@@ -80,9 +80,23 @@ def _near_dup_caption(rng: np.random.Generator, caption: str) -> str:
     return "".join(s)
 
 
+def _gibberish_word(rng: np.random.Generator) -> str:
+    n = int(rng.integers(6, 11))
+    return "".join(chr(ord("a") + int(rng.integers(26))) for _ in range(n))
+
+
 def _long_caption(rng: np.random.Generator, shared: str) -> str:
-    pre = " ".join(_WORDS[rng.integers(len(_WORDS))] for _ in range(int(rng.integers(40, 120))))
-    post = " ".join(_WORDS[rng.integers(len(_WORDS))] for _ in range(int(rng.integers(40, 120))))
+    """Long caption = gibberish filler around an explicit shared run.
+
+    The filler MUST be gibberish, not vocab words: char-ngram set Jaccard
+    saturates with document length (two long texts over a ~1k-word vocab
+    measure J≈0.52 on 3-grams — genuinely above the 0.5 verify bar), so
+    vocab-word filler makes unrelated long captions real near-dups and the
+    planted truth table a lie at large n_rows. Gibberish filler keeps
+    random long-pair Jaccard ≈ 0.02 while the planted ``shared`` run stays
+    detectable by both the caption sketch and the substring stage."""
+    pre = " ".join(_gibberish_word(rng) for _ in range(int(rng.integers(40, 120))))
+    post = " ".join(_gibberish_word(rng) for _ in range(int(rng.integers(40, 120))))
     return f"{pre} {shared} {post}"
 
 

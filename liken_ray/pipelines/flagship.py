@@ -418,14 +418,19 @@ def _broadcast_column(ds, rids: set[int], column: str) -> dict[int, Any]:
     return {r[RID]: r["v"] for r in rows}
 
 
-def _confirm_borderline(ds, cfg, stats, exclude: set | None = None):
+def _confirm_borderline(ds, cfg, stats, exclude=None):
     """Exact char-ngram Jaccard decision over the sketch kernel's
     borderline pairs: fetch captions for ONLY the involved rows
     (O(borderline), not O(rows)), cache gram arrays per row, return the
-    accepted pairs as a (src, dst) table (or None)."""
+    accepted pairs as a (src, dst) table (or None). ``exclude`` may be a
+    set or a list of already-verified pairs; it is only materialized into
+    a set when borderline pairs actually exist (the common zero-borderline
+    case pays no O(edges) driver work)."""
     borderline = {(min(a, b), max(a, b)) for a, b in stats.get("borderline_pairs", [])}
+    if not borderline:
+        return None
     if exclude:
-        borderline -= exclude
+        borderline -= exclude if isinstance(exclude, set) else set(exclude)
     if not borderline:
         return None
     need = {r for p in borderline for r in p}
@@ -543,7 +548,7 @@ def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
 
     # exact confirmation of the sketch uncertainty band (see
     # _confirm_borderline); pairs collide in up to b bands — dedupe first
-    confirmed_tbl = _confirm_borderline(ds, cfg, stats, exclude=set(out))
+    confirmed_tbl = _confirm_borderline(ds, cfg, stats, exclude=out)
     confirmed = 0
     if confirmed_tbl is not None:
         confirmed = confirmed_tbl.num_rows

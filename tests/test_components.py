@@ -69,6 +69,27 @@ def test_distributed_label_propagation_matches_networkx(ray_session, seed):
     assert got == _nx_labels(edges)
 
 
+def test_distributed_long_chain_converges_logarithmically(ray_session):
+    """A 400-node path graph has diameter 399: one-hop propagation needs
+    ~400 rounds (and would silently under-merge at max_rounds=50); the
+    pointer-jumping shortcut must converge in O(log n) rounds with every
+    node labelled 0."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 400
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    edges_ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+
+    stats: dict = {}
+    labels_ds = connected_components_distributed(edges_ds, stats=stats)
+    got = {r["node"]: r["label"] for r in labels_ds.take_all()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["cc_converged"]
+    assert stats["cc_rounds"] <= 14  # ~log2(400) + seeding slack, not ~400
+
+
 @pytest.mark.parametrize("seed", [3, 4, 5])
 def test_numpy_components_match_networkx(seed):
     from liken_ray.engine.components import connected_components_edges_numpy

@@ -31,7 +31,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _bench_pairs_dir(n_rows: int, seed: int = 42) -> str:
     """Deterministic synthetic image+caption input, cached across runs so
     the two scaling processes benchmark identical bytes."""
-    out = f"/tmp/liken_ray_bench/pairs_{n_rows}_{seed}"
+    from liken_ray.io.synth import GEN_VERSION
+
+    out = f"/tmp/liken_ray_bench/pairs_{n_rows}_{seed}_v{GEN_VERSION}"
     marker = os.path.join(out, "DONE")
     if not os.path.exists(marker):
         from liken_ray.io.synth import write_pairs_dataset

@@ -993,6 +993,7 @@ def run_flagship(
     ckpt.record("components", edges=n_edges)
 
     t0 = time.perf_counter()
+    cc_stats: dict = {}
     if n_edges <= cfg["edge_uf_limit"]:
         from liken_ray.engine.components import connected_components_edges_arrays
 
@@ -1008,7 +1009,7 @@ def run_flagship(
         else:
             lab_keys = lab_vals = np.empty(0, dtype=np.int64)
     else:
-        labels_ds = connected_components_distributed(all_edges)
+        labels_ds = connected_components_distributed(all_edges, stats=cc_stats)
         node_parts, lab_parts = [], []
         for batch in labels_ds.iter_batches(batch_format="pyarrow", batch_size=None):
             if batch.num_rows:
@@ -1021,7 +1022,12 @@ def run_flagship(
             lab_keys, lab_vals = nodes[order], labs[order]
         else:
             lab_keys = lab_vals = np.empty(0, dtype=np.int64)
-    ckpt.record("components", wall_s=round(time.perf_counter() - t0, 3), labeled=len(lab_keys))
+    ckpt.record(
+        "components",
+        wall_s=round(time.perf_counter() - t0, 3),
+        labeled=len(lab_keys),
+        **cc_stats,
+    )
 
     # rep image ids for user-facing cluster labels; the relabel map is
     # broadcast as sorted parallel arrays and applied via searchsorted

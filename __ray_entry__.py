@@ -6,12 +6,12 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 ``queries()`` maps operator names (SURVEY.md §2 + training-data extras) to
 callables over ``sf_dir``; ``oracle_sql()`` holds the DuckDB-equivalent SQL
 for the SQL-expressible ones (same column names — the driver's comparison
-is by sorted column name + value hash). The only rows-only query left is
-``ann_topk_embeddings_ivf_indexed`` (pruned-probe reads: approximate by
-design; its exactness at full probe is pinned by the
-``ann_topk_embeddings_ivf`` oracle row and its recall by pytest). Even
-``fingerprint_documents`` is oracled — the polynomial byte hash is
-replicated in SQL via UHUGEINT mod-2^64 arithmetic.
+is by sorted column name + value hash). Every query is oracled: the
+clustering queries via derived-determinism configs, the IVF ANN queries by
+running at full probe width (provably exact, same oracle as brute force —
+the pruned approximate configs are pinned by pytest recall tests), and
+even ``fingerprint_documents`` — the polynomial byte hash is replicated in
+SQL via UHUGEINT mod-2^64 arithmetic.
 """
 
 from __future__ import annotations
@@ -441,8 +441,14 @@ def _ann_topk_embeddings_ivf(sf_dir: str):
 
 def _ann_topk_embeddings_ivf_indexed(sf_dir: str):
     """Persisted IVF index (cell-partitioned parquet under /tmp, cached per
-    sf_dir): queries read only their probed cell partitions. Rows-only
-    check (approximate by design)."""
+    sf_dir): queries read only their probed cell partitions. Run at full
+    probe width (n_probe = n_cells) so every cell directory is read and the
+    result is provably the exact top-k — same oracle as the brute-force
+    query — while still exercising the whole persisted-index path (build,
+    cell-partitioned write, centroid sidecar, per-cell file globbing). The
+    *pruned* n_probe < n_cells config (the 100-TB IO-pruning property) is
+    asserted by tests/test_extras.py::
+    test_ivf_persisted_index_reads_only_probed_cells."""
     import hashlib
     import os
 
@@ -458,7 +464,8 @@ def _ann_topk_embeddings_ivf_indexed(sf_dir: str):
     )
     queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qids = [r["vec_id"] for r in qrows]
-    return topk_cosine_ivf_indexed(idx_dir, queries, qids, k=10, n_probe=4)
+    out = topk_cosine_ivf_indexed(idx_dir, queries, qids, k=10, n_probe=8)
+    return out.select(["query_id", "neighbor_id"])
 
 
 def _tumbling_window_events(sf_dir: str):
@@ -739,9 +746,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": _lang_id_sql(),
         "fingerprint_documents": _fingerprint_sql(),
         "ann_topk_embeddings": _ANN_TOPK_SQL,
-        # full probe width (n_probe = n_cells) makes the IVF path exact —
+        # full probe width (n_probe = n_cells) makes the IVF paths exact —
         # same oracle as the brute-force query; see _ann_topk_embeddings_ivf
         "ann_topk_embeddings_ivf": _ANN_TOPK_SQL,
+        "ann_topk_embeddings_ivf_indexed": _ANN_TOPK_SQL,
         "tumbling_window_events": (
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, event_type, COUNT(*) AS cnt "

@@ -56,13 +56,9 @@ def test_query_matches_oracle(ray_session, con, name):
 
 
 def test_rows_only_queries_run(ray_session):
+    # every query now carries an oracle (full-probe IVF is provably exact)
     rows_only = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
-    # the only legitimately non-oracled query left is the pruned-probe
-    # (approximate-by-design) persisted-index ANN read
-    assert rows_only == ["ann_topk_embeddings_ivf_indexed"]
-    for name in rows_only:
-        out = _to_pandas(entry_mod.queries()[name](SF))
-        assert len(out) > 0, name
+    assert rows_only == []
 
 
 def test_every_oracle_key_has_a_query():

@@ -228,6 +228,82 @@ def _pair_sig(src, dst):
     return np.uint64(h.sum(dtype=np.uint64))
 
 
+def _sorted_min_by_key(ds, key: str, val: str):
+    """Exact ``groupby(key).min(val)`` via one sort + streaming scans —
+    no hash/sort Aggregate operator. Ray's Aggregate costs ~10 s per call
+    on a 548k-row table at 32 CPUs (per-group overhead dominates at high
+    cardinality); a 2-key sort of the same rows costs ~5 s and the scans
+    are pure numpy.
+
+    Layout after ``sort([key, val])``: each key's rows are contiguous and
+    its min val is the run's FIRST row. Runs strictly interior to a block
+    are emitted by that block; any key touching a block boundary (first or
+    last run of a block — a multi-block key is first/last in every block
+    it occupies) is resolved driver-side from O(blocks) summaries and
+    emitted exactly once from a small driver table. Returns a Dataset
+    ``(key, val)`` with exactly one row per key.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    srt = ds.sort([key, val]).materialize()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bk": pa.array([], pa.int64()), "bv": pa.array([], pa.int64())}
+            )
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val].to_numpy(zero_copy_only=False)
+        last_start = int(np.flatnonzero(k != k[-1]).max() + 1) if k[0] != k[-1] else 0
+        return pa.table(
+            {
+                "bk": pa.array([int(k[0]), int(k[-1])], pa.int64()),
+                "bv": pa.array([int(v[0]), int(v[last_start])], pa.int64()),
+            }
+        )
+
+    boundary: dict[int, int] = {}
+    for row in srt.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        bk, bv = int(row["bk"]), int(row["bv"])
+        boundary[bk] = min(boundary.get(bk, bv), bv)
+    b_keys = np.array(sorted(boundary), dtype=np.int64)
+    b_ref = ray.put(b_keys)
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), val: pa.array([], pa.int64())}
+            )
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[val].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        run_k = k[starts]
+        run_v = v[starts]
+        bk = ray.get(b_ref)
+        if bk.size:
+            pos = np.searchsorted(bk, run_k)
+            safe = np.minimum(pos, len(bk) - 1)
+            keep = ~((pos < len(bk)) & (bk[safe] == run_k))
+        else:
+            keep = np.ones(len(run_k), dtype=bool)
+        return pa.table({key: run_k[keep], val: run_v[keep]})
+
+    out = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    if boundary:
+        drv = pa.table(
+            {
+                key: pa.array(b_keys, pa.int64()),
+                val: pa.array([boundary[int(x)] for x in b_keys], pa.int64()),
+            }
+        )
+        out = out.union(ray.data.from_arrow(drv))
+    return out.materialize()
+
+
 def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict | None = None):
     """Distributed connected components over an edge Dataset with columns
     ``(src, dst)`` (int64 node ids). Returns a Dataset ``(node, label)``
@@ -235,34 +311,38 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
 
     Algorithm: alternating large-star / small-star contraction (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14), which
-    converges in O(log^2 n) rounds regardless of graph structure — in
-    practice ~log2(diameter) alternations. Min-label propagation (the
-    previous implementation) is hop-limited: the component min spreads one
-    edge per round, and pointer-jumping over the *label* forest does not
-    help when node ids are scattered (every low-id node is a local minimum,
-    so label chains stay shallow). Measured on a real 1M-row corpus whose
-    largest component had 6k nodes and diameter ~57: 27 propagate rounds
-    (~620 s) vs 7 alternations here.
+    converges in O(log^2 n) ops regardless of graph structure — in practice
+    ~log2(diameter) alternations. Min-label propagation (the previous
+    implementation) is hop-limited: the component min spreads one edge per
+    round, and pointer-jumping over the *label* forest does not help when
+    node ids are scattered (every low-id node is a local minimum, so label
+    chains stay shallow). Measured on a real 1M-row corpus whose largest
+    component had 6k nodes and diameter ~57: 27 propagate rounds (~620 s)
+    vs 7 alternations here.
 
-    Each star op is JOIN-FREE — one ``sort(["u","v"])`` shuffle + two
-    streaming scans (per-block segmented min with O(blocks) driver-side
-    boundary corrections, the ``bucket_edges`` pattern) + one dedupe
-    groupby — so no join aggregator actor pools are placed (see the
-    join-deadlock rule in CLAUDE.md) and per-round data SHRINKS as the
-    graph contracts. Termination: the deduped edge set's (count, uint64
-    hash-sum) signature is unchanged by a full alternation (exact up to a
-    2^-64 hash collision); at the fixpoint the edges form depth-1 stars
-    rooted at each component's min.
+    Each star op is ONE ``sort(["u","v"])`` shuffle + two streaming numpy
+    scans — no joins (no join aggregator actor pools, see the
+    join-deadlock rule in CLAUDE.md) and no Aggregate operator (Ray's
+    groupby().aggregate costs ~10 s/call at 548k groups — per-group
+    overhead — vs ~5 s for the sort). Per-key mins come from the sorted
+    runs (min = first row of a run) with O(blocks) driver-side boundary
+    corrections, the ``bucket_edges`` pattern. Duplicate edge rows are
+    dropped inside runs; the few that straddle block boundaries are
+    carried harmlessly (ops are per-run idempotent) while the convergence
+    signature — (count, uint64 hash-sum) over the UNIQUE sym rows,
+    reconstructed exactly from per-block summaries via a driver-side
+    boundary chain walk — ignores them. Converged when a full alternation
+    leaves the signature unchanged (exact up to a 2^-64 hash collision);
+    at the fixpoint the edges form depth-1 stars rooted at each
+    component's min: src IS the parent.
 
-    Large-star: for each node u with m = min(neighbors(u) + [u]), link every
-    larger neighbor v > u to m. Small-star: link every smaller neighbor
-    v < u (and u itself) to m. All edges stored canonically (src < dst);
-    star edges are (parent=min, child), so src IS the parent.
+    Large-star: for each node u with m = min(neighbors(u) + [u]), link
+    every larger neighbor v > u to m. Small-star: link every smaller
+    neighbor v < u (and u itself) to m.
     """
     import pyarrow as pa
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Min
 
     def to_edge_table(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -274,6 +354,17 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
 
     edges0 = edges_ds.map_batches(to_edge_table, batch_format="pyarrow").materialize()
 
+    # Normalize the block count BEFORE looping: upstream edge datasets (e.g.
+    # a union of per-stage shuffle outputs) can arrive as hundreds of tiny
+    # blocks, and every sort below inherits its input's block count — pure
+    # per-task scheduling overhead on MB-scale edge data. Target ~250k edge
+    # rows per block, capped at one block per CPU.
+    n0 = edges0.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    want_blocks = max(1, min(cpus, n0 // 250_000 + 1))
+    if edges0.num_blocks() > 2 * want_blocks:
+        edges0 = edges0.repartition(want_blocks).materialize()
+
     def canonical(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
@@ -282,92 +373,90 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
         keep = lo != hi  # drop self-loops (their nodes are re-covered at the end)
         return pa.table({"src": lo[keep], "dst": hi[keep]})
 
-    def dedupe_sig(ds):
-        """Global dedupe (hash shuffle on both endpoints) + exact set
-        signature; returns (materialized ds with columns src/dst, count,
-        uint64 sum)."""
-        ded = (
-            ds.groupby(["src", "dst"])
-            .aggregate(Count(alias_name="_c"))
-            .map_batches(
-                lambda t: pa.table({"src": t["src"], "dst": t["dst"]}),
-                batch_format="pyarrow",
-            )
-            .materialize()
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"u": np.concatenate([src, dst]), "v": np.concatenate([dst, src])}
         )
-        n = 0
-        sig = 0  # python int accumulator: explicit mod-2^64 wraparound
-        for b in ded.map_batches(
-            lambda t: pa.table(
-                {
-                    "n": pa.array([t.num_rows], pa.int64()),
-                    "sig": pa.array(
-                        [
-                            int(
-                                _pair_sig(
-                                    t["src"].to_numpy(zero_copy_only=False),
-                                    t["dst"].to_numpy(zero_copy_only=False),
-                                )
-                            )
-                            if t.num_rows
-                            else 0
-                        ],
-                        pa.uint64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            n += int(b["n"].to_numpy().sum())
-            sig = (sig + int(b["sig"].to_numpy().sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF
-        return ded, n, np.uint64(sig)
 
-    def star_op(ds, small: bool):
-        """One large-star (small=False) or small-star (small=True) op."""
-
-        def symmetrize(batch: pa.Table) -> pa.Table:
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {"u": np.concatenate([src, dst]), "v": np.concatenate([dst, src])}
-            )
-
+    def sorted_pass(ds):
+        """Symmetrize + sort by (u, v), then ONE summary scan providing:
+        per-u boundary min corrections (for the star ops) and the exact
+        (count, sig) of the UNIQUE sym row set (for convergence). Unique
+        reconstruction: per block, hash-sum the block's unique rows
+        excluding its first pair, then chain-walk the summaries in global
+        (first-pair) order adding each block's first pair only when it
+        differs from the previous block's last pair — copies of one pair
+        are globally adjacent after the sort, so this counts every unique
+        pair exactly once."""
         srt = (
             ds.map_batches(symmetrize, batch_format="pyarrow")
             .sort(["u", "v"])
             .materialize()
         )
 
-        # pass A: per-block boundary summaries. Sorted by (u, v) means each
-        # u-run's min-v is the run's FIRST row; a u whose rows span blocks
-        # touches a block boundary in every block it occupies, so the
-        # driver-side min over (first-run, last-run) summaries is the exact
-        # global min-v for every boundary u. O(blocks) driver rows.
         def summarize(batch: pa.Table) -> pa.Table:
+            cols = {
+                "fu": pa.int64(), "fv": pa.int64(), "lu": pa.int64(),
+                "lv": pa.int64(), "mf": pa.int64(), "ml": pa.int64(),
+                "nr": pa.int64(), "sr": pa.uint64(),
+            }
             if batch.num_rows == 0:
-                return pa.table(
-                    {"su": pa.array([], pa.int64()), "sv": pa.array([], pa.int64())}
-                )
+                return pa.table({c: pa.array([], t) for c, t in cols.items()})
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
-            last_start = int(np.flatnonzero(u != u[-1]).max() + 1) if u[0] != u[-1] else 0
+            uniq = np.ones(len(u), dtype=bool)
+            uniq[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            ru, rv = u[uniq], v[uniq]
+            last_start = (
+                int(np.flatnonzero(u != u[-1]).max() + 1) if u[0] != u[-1] else 0
+            )
             return pa.table(
                 {
-                    "su": pa.array([int(u[0]), int(u[-1])], pa.int64()),
-                    "sv": pa.array([int(v[0]), int(v[last_start])], pa.int64()),
+                    "fu": pa.array([int(u[0])], pa.int64()),
+                    "fv": pa.array([int(v[0])], pa.int64()),
+                    "lu": pa.array([int(u[-1])], pa.int64()),
+                    "lv": pa.array([int(v[-1])], pa.int64()),
+                    "mf": pa.array([int(v[0])], pa.int64()),
+                    "ml": pa.array([int(v[last_start])], pa.int64()),
+                    "nr": pa.array([len(ru) - 1], pa.int64()),
+                    "sr": pa.array(
+                        [int(_pair_sig(ru[1:], rv[1:])) if len(ru) > 1 else 0],
+                        pa.uint64(),
+                    ),
                 }
             )
 
-        corr: dict[int, int] = {}
-        for row in srt.map_batches(
+        rows = srt.map_batches(
             summarize, batch_format="pyarrow", batch_size=None
-        ).take_all():
-            s, m = int(row["su"]), int(row["sv"])
-            corr[s] = min(corr.get(s, m), m)
+        ).take_all()
+        rows.sort(key=lambda r: (r["fu"], r["fv"]))
+        n = 0
+        sig = 0
+        prev_last = None
+        corr: dict[int, int] = {}
+        for r in rows:
+            first = (int(r["fu"]), int(r["fv"]))
+            if first != prev_last:
+                n += 1
+                sig += int(
+                    _pair_sig(
+                        np.array([first[0]], dtype=np.int64),
+                        np.array([first[1]], dtype=np.int64),
+                    )
+                )
+            n += int(r["nr"])
+            sig = (sig + int(r["sr"])) & 0xFFFFFFFFFFFFFFFF
+            prev_last = (int(r["lu"]), int(r["lv"]))
+            for ku, kv in ((int(r["fu"]), int(r["mf"])), (int(r["lu"]), int(r["ml"]))):
+                corr[ku] = min(corr.get(ku, kv), kv)
         corr_u = np.array(sorted(corr), dtype=np.int64)
         corr_m = np.array([corr[int(x)] for x in corr_u], dtype=np.int64)
         corr_ref = ray.put((corr_u, corr_m))
+        return srt, corr_ref, n, sig & 0xFFFFFFFFFFFFFFFF
 
+    def make_emit(corr_ref, small: bool):
         def emit(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return pa.table(
@@ -375,6 +464,9 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
                 )
             u = batch["u"].to_numpy(zero_copy_only=False)
             v = batch["v"].to_numpy(zero_copy_only=False)
+            uniq = np.ones(len(u), dtype=bool)
+            uniq[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+            u, v = u[uniq], v[uniq]
             starts = np.concatenate([[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
             run_u = u[starts]
             run_m = v[starts]  # v ascending within a run -> first is min
@@ -396,23 +488,28 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
             mask = v > u
             return pa.table({"src": m[mask], "dst": v[mask]})
 
-        return dedupe_sig(
-            srt.map_batches(emit, batch_format="pyarrow", batch_size=None)
-        )
+        return emit
 
-    cur, n, sig = dedupe_sig(edges0.map_batches(canonical, batch_format="pyarrow"))
+    cur = edges0.map_batches(canonical, batch_format="pyarrow")
     rounds = 0
-    converged = n == 0
-    if not converged:
-        prev = (n, int(sig))
-        for _ in range(max_rounds):
-            big, _, _ = star_op(cur, small=False)
-            cur, n, sig = star_op(big, small=True)
-            rounds += 1
-            if (n, int(sig)) == prev:
+    converged = False
+    small = False
+    prev_large = None
+    for _ in range(2 * max_rounds + 1):
+        srt, corr_ref, n, sig = sorted_pass(cur)
+        if not small:
+            # entering a large-star op: the input is the previous
+            # alternation's output (or the initial canonical set)
+            if n == 0 or prev_large == (n, sig):
                 converged = True
                 break
-            prev = (n, int(sig))
+            prev_large = (n, sig)
+        cur = srt.map_batches(
+            make_emit(corr_ref, small), batch_format="pyarrow", batch_size=None
+        )
+        if small:
+            rounds += 1
+        small = not small
 
     if stats is not None:
         stats["cc_rounds"] = rounds
@@ -430,7 +527,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
     # labels: star children point at their parent (src = component min);
     # identity rows over the ORIGINAL edge nodes cover roots, isolated
     # nodes whose edges were all self-loops, and any node untouched by
-    # contraction. One final aggregate shuffle.
+    # contraction. One final sort-scan min (no Aggregate).
     def identity_rows(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
@@ -440,11 +537,10 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
     def star_rows(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["dst"], "label": batch["src"]})
 
-    labels = (
-        edges0.map_batches(identity_rows, batch_format="pyarrow")
-        .union(cur.map_batches(star_rows, batch_format="pyarrow"))
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
+    return _sorted_min_by_key(
+        edges0.map_batches(identity_rows, batch_format="pyarrow").union(
+            cur.map_batches(star_rows, batch_format="pyarrow")
+        ),
+        "node",
+        "label",
     )
-    return labels

@@ -380,15 +380,70 @@ def _resolve_summaries(
 
 
 def dedupe_edges_dataset(edges_ds):
-    """Global (src, dst) dedupe of an edge Dataset: one aggregate shuffle
-    over edge-sized data."""
-    from ray.data.aggregate import Count
+    """Global (src, dst) dedupe of an edge Dataset: one SORT shuffle over
+    edge-sized data plus streaming scans. Not a groupby — Ray's Aggregate
+    operator costs ~2x a sort at high key cardinality (measured ~10 s vs
+    ~5 s on a 548k-pair table at 32 CPUs; per-group overhead). After the
+    sort all copies of a pair are globally adjacent: each block emits its
+    adjacent-unique rows except pairs that are some block's FIRST pair
+    (only those can straddle block boundaries); the driver emits the
+    distinct first pairs exactly once from an O(blocks) table."""
+    import ray
+    import ray.data
 
-    return (
-        edges_ds.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
-    )
+    srt = edges_ds.sort(["src", "dst"]).materialize()
+
+    def first_pair(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "src": pa.array([batch["src"][0].as_py()], pa.int64()),
+                "dst": pa.array([batch["dst"][0].as_py()], pa.int64()),
+            }
+        )
+
+    firsts = {
+        (int(r["src"]), int(r["dst"]))
+        for r in srt.map_batches(
+            first_pair, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    }
+    if not firsts:
+        return srt
+    f_arr = np.array(sorted(firsts), dtype=np.int64).reshape(-1, 2)
+    f_ref = ray.put(f_arr)
+
+    def interior(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        uniq = np.ones(len(src), dtype=bool)
+        uniq[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst = src[uniq], dst[uniq]
+        fa = ray.get(f_ref)
+        # drop rows matching any block-first pair (driver re-adds them
+        # once): O(blocks) boundary pairs, binary search each against the
+        # block's sorted rows
+        keep = np.ones(len(src), dtype=bool)
+        for s, d in fa:
+            lo = int(np.searchsorted(src, s, "left"))
+            hi = int(np.searchsorted(src, s, "right"))
+            if lo < hi:
+                j = lo + int(np.searchsorted(dst[lo:hi], d))
+                if j < hi and dst[j] == d:
+                    keep[j] = False
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    drv = pa.table({"src": f_arr[:, 0], "dst": f_arr[:, 1]})
+    return srt.map_batches(
+        interior, batch_format="pyarrow", batch_size=None
+    ).union(ray.data.from_arrow(drv))
 
 
 def bucket_edges_dataset(

@@ -446,3 +446,49 @@ def test_flagship_rid_stable_across_runs(ray_session, tmp_path):
     b = rid_map(dict(DEFAULT_CONFIG))
     c = rid_map({**DEFAULT_CONFIG, "stage_barriers": False})
     assert a == b == c
+
+
+def test_dedupe_edges_dataset_exact_with_boundary_duplicates(ray_session):
+    """Sort-scan edge dedupe must be EXACT when copies of a pair straddle
+    block boundaries: many duplicates of a few hot pairs spread over many
+    small blocks, plus unique pairs, equals the set-dedupe of the whole."""
+    import ray.data
+
+    from liken_ray.engine.blocking import dedupe_edges_dataset
+
+    rng = np.random.default_rng(12)
+    hot = [(1, 2), (3, 9), (5, 7)]
+    src = np.concatenate(
+        [np.repeat([a for a, _ in hot], 400), rng.integers(10, 5000, 300)]
+    ).astype(np.int64)
+    dst = np.concatenate(
+        [np.repeat([b for _, b in hot], 400), rng.integers(5000, 9000, 300)]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(24)
+
+    got = sorted(
+        (r["src"], r["dst"]) for r in dedupe_edges_dataset(ds).take_all()
+    )
+    want = sorted(set(zip(src.tolist(), dst.tolist())))
+    assert got == want  # exactly one copy of every pair, none lost
+
+
+def test_sorted_min_by_key_matches_groupby(ray_session):
+    """_sorted_min_by_key must equal groupby().min() exactly, including
+    keys whose runs span many blocks."""
+    import ray.data
+
+    from liken_ray.engine.components import _sorted_min_by_key
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([np.repeat(7, 2000), rng.integers(0, 500, 3000)]).astype(
+        np.int64
+    )
+    vals = rng.integers(-1000, 1000, len(keys)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(16)
+
+    got = {r["k"]: r["v"] for r in _sorted_min_by_key(ds, "k", "v").take_all()}
+    want: dict[int, int] = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        want[k] = min(want.get(k, v), v)
+    assert got == want

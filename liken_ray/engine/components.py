@@ -495,8 +495,14 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
     converged = False
     small = False
     prev_large = None
+    unique_edges = None
     for _ in range(2 * max_rounds + 1):
         srt, corr_ref, n, sig = sorted_pass(cur)
+        if unique_edges is None:
+            # n counts unique SYM rows of the INITIAL canonical set =
+            # 2 x unique undirected edges — the deduped edge count the
+            # stage-union "edges" metric (pre-dedupe rows) overstates
+            unique_edges = n // 2
         if not small:
             # entering a large-star op: the input is the previous
             # alternation's output (or the initial canonical set)
@@ -514,6 +520,8 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
     if stats is not None:
         stats["cc_rounds"] = rounds
         stats["cc_converged"] = converged
+        if unique_edges is not None:
+            stats["cc_unique_edges"] = unique_edges
     if not converged:
         import warnings
 

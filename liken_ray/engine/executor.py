@@ -621,69 +621,85 @@ def _execute_partition_scope(ds, dedupers, columns, keep, drop_duplicates, drop_
 
 def drop_duplicates_ray(ds, keep: str):
     """Keep first/last row per canonical_id in row order — fully
-    distributed and map_groups-free: ONE aggregate shuffle computes the
-    keeper row id per canonical group, then a hash left-semi join keeps
-    exactly those rows (no per-group Python, no driver-side keeper set —
-    canonical_id is table-cardinality at scale)."""
-    from ray.data.aggregate import Max, Min
+    distributed, map_groups-free, join-free and Aggregate-free: ONE sort
+    by ``(canonical_id, row_id)`` puts each group's keeper at its run's
+    first (keep="first") or last (keep="last") row; a per-block segmented
+    scan emits interior-run keepers directly, and the O(blocks) runs that
+    straddle block boundaries are resolved via driver-side summaries and
+    a broadcast ``{canonical: keeper_rid}`` map (the ``bucket_edges``
+    pattern). Replaces the former Min/Max-aggregate + left-semi-join
+    formulation: Ray's Aggregate operator costs ~2x a sort at
+    table-cardinality keys, the join placed an aggregator actor pool, and
+    Arrow's hash join rejected nested / dictionary / null-typed payload
+    columns (a sort carries any schema). A final sort restores the
+    reference's original-row-order output contract."""
+    first = keep == "first"
+    srt = ds.sort([CANONICAL_ID, ROW_ID]).materialize()
 
-    agg = Min if keep == "first" else Max
-    schema = _arrow_schema(ds)
-    # Arrow's hash join rejects nested and dictionary non-key columns —
-    # for those schemas keep the (slower) per-group path rather than crash
-    if any(
-        pa.types.is_nested(f.type) or pa.types.is_dictionary(f.type)
-        for f in schema
-    ):
-        def keep_one(group: pa.Table) -> pa.Table:
-            rid = group[ROW_ID].to_numpy(zero_copy_only=False)
-            pos = int(np.argmin(rid)) if keep == "first" else int(np.argmax(rid))
-            return group.slice(pos, 1)
-
-        return (
-            ds.groupby(CANONICAL_ID)
-            .map_groups(keep_one, batch_format="pyarrow")
-            .sort(ROW_ID)
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bc": pa.array([], pa.int64()), "br": pa.array([], pa.int64())}
+            )
+        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
+        # rid sorted within a run: block-local keeper candidate for the
+        # first run is its first row (keep=first) / last row (keep=last),
+        # symmetrically for the last run
+        if cid[0] != cid[-1]:
+            first_end = int(np.flatnonzero(cid != cid[0]).min() - 1)
+            last_start = int(np.flatnonzero(cid != cid[-1]).max() + 1)
+        else:
+            first_end = batch.num_rows - 1
+            last_start = 0
+        return pa.table(
+            {
+                "bc": pa.array([int(cid[0]), int(cid[-1])], pa.int64()),
+                "br": pa.array(
+                    [
+                        int(rid[0 if first else first_end]),
+                        int(rid[last_start if first else -1]),
+                    ],
+                    pa.int64(),
+                ),
+            }
         )
-    keepers = (
-        ds.groupby(CANONICAL_ID)
-        .aggregate(agg(ROW_ID, alias_name="_keep_rid"))
-        .select_columns(["_keep_rid"])
-    )
-    # all-null (null-typed) columns are likewise rejected; carry them as
-    # string through the join and restore after
-    null_cols = [f.name for f in schema if pa.types.is_null(f.type)]
-    left = ds
-    if null_cols:
-        def widen(batch: pa.Table) -> pa.Table:
-            for c in null_cols:
-                i = batch.column_names.index(c)
-                batch = batch.set_column(i, c, batch[c].cast(pa.string()))
-            return batch
 
-        left = ds.map_batches(widen, batch_format="pyarrow")
-    # size the join to the data: each partition is a join actor, and actor
-    # spin-up dominates for small tables
-    n_rows = ds.count()
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    num_partitions = max(2, min(cpus, n_rows // 50_000 + 2))
-    joined = left.join(
-        keepers,
-        "left_semi",
-        num_partitions=num_partitions,
-        on=(ROW_ID,),
-        right_on=("_keep_rid",),
-    )
-    if null_cols:
-        def narrow(batch: pa.Table) -> pa.Table:
-            for c in null_cols:
-                i = batch.column_names.index(c)
-                batch = batch.set_column(i, c, pa.nulls(batch.num_rows, pa.null()))
-            return batch
+    pick = min if first else max
+    boundary: dict[int, int] = {}
+    for r in srt.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        bc, br = int(r["bc"]), int(r["br"])
+        boundary[bc] = pick(boundary.get(bc, br), br)
+    b_cids = np.array(sorted(boundary), dtype=np.int64)
+    b_rids = np.array([boundary[int(c)] for c in b_cids], dtype=np.int64)
+    b_ref = ray.put((b_cids, b_rids))
 
-        joined = joined.map_batches(narrow, batch_format="pyarrow")
-    # sort restores the reference's original-row-order output contract
-    return joined.sort(ROW_ID)
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        starts = np.concatenate([[0], np.flatnonzero(cid[1:] != cid[:-1]) + 1])
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        keepers = starts if first else ends
+        bc, br = ray.get(b_ref)
+        if bc.size:
+            pos = np.searchsorted(bc, cid[keepers])
+            safe = np.minimum(pos, len(bc) - 1)
+            is_boundary = (pos < len(bc)) & (bc[safe] == cid[keepers])
+            # boundary canonicals: keep only the row holding the global
+            # keeper rid (it exists in exactly one block)
+            winner = rid[keepers] == br[safe]
+            mask = ~is_boundary | winner
+            keepers = keepers[mask]
+        return batch.take(pa.array(keepers, pa.int64()))
+
+    return srt.map_batches(
+        keep_rows, batch_format="pyarrow", batch_size=None
+    ).sort(ROW_ID)
 
 
 def strip_internal(ds):

@@ -710,15 +710,56 @@ def strip_internal(ds):
 
 
 def canonicals_counts_ray(ds, n: int = 2) -> dict[Any, int]:
-    from ray.data.aggregate import Count
+    """Per-canonical group sizes, ≥n only. Sort-scan, not a groupby —
+    Ray's Aggregate operator costs ~2x a sort at table-cardinality keys.
+    Each block emits (canonical, run_length) for its runs; the two runs
+    that can straddle block boundaries are summed driver-side from the
+    same rows (a canonical spanning blocks is a first/last run in every
+    block it touches, so its partial counts all arrive). The driver pull
+    is O(distinct canonicals in qualifying clusters + blocks), and the
+    n-filter for interior runs happens in the workers."""
+    import ray as _ray
 
-    counted = ds.groupby(CANONICAL_ID).aggregate(Count(alias_name="cnt"))
-    # n-filter runs distributed; the driver pull is only qualifying groups
-    # (real duplicate clusters), not every distinct canonical
-    qualifying = counted.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["cnt"], n)), batch_format="pyarrow"
-    )
-    return {r[CANONICAL_ID]: r["cnt"] for r in qualifying.take_all()}
+    srt = ds.select_columns([CANONICAL_ID]).sort(CANONICAL_ID).materialize()
+
+    def run_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "edge": pa.array([], pa.bool_()),
+                }
+            )
+        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        m = batch.num_rows
+        starts = np.concatenate([[0], np.flatnonzero(cid[1:] != cid[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [m]]))
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        keep = edge | (lens >= n)  # interior runs filter distributed
+        return pa.table(
+            {
+                "cid": pa.array(cid[starts][keep], pa.int64()),
+                "cnt": pa.array(lens[keep], pa.int64()),
+                "edge": pa.array(edge[keep], pa.bool_()),
+            }
+        )
+
+    counts: dict[int, int] = {}
+    edge_counts: dict[int, int] = {}
+    for r in srt.map_batches(
+        run_counts, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        cid, cnt = int(r["cid"]), int(r["cnt"])
+        if r["edge"]:
+            edge_counts[cid] = edge_counts.get(cid, 0) + cnt
+        else:
+            counts[cid] = cnt
+    for cid, cnt in edge_counts.items():
+        counts[cid] = counts.get(cid, 0) + cnt
+    return {cid: cnt for cid, cnt in counts.items() if cnt >= n}
 
 
 def synthesize_ray(ds):

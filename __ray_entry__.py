@@ -81,50 +81,99 @@ def _exact_dedup_documents(sf_dir: str):
 
 
 def _drop_duplicates_documents(sf_dir: str):
-    """Keep the min-doc_id row per text: a Min aggregate (one shuffle of
-    (text, doc_id) pairs — no per-group Python) + broadcast semi-join on the
-    keeper ids. The driver-side object is the keeper-id array (distinct
-    texts), not the table; at cluster scale swap the broadcast for a
-    hash-partitioned semi-join on the same aggregate output."""
-    import ray
-    from ray.data.aggregate import Min
+    """Keep the min-doc_id row per text via the engine's ONE-sort-scan
+    terminal (``drop_duplicates_ray``): no Aggregate operator (the repo
+    measured it at ~2x a sort at table cardinality) and no keeper-id
+    ``take_all`` — the driver sees only O(blocks) boundary summaries. The
+    text column itself is the canonical key (string canonical ids are
+    first-class in the sort-scan terminals)."""
+    from liken_ray.constants import CANONICAL_ID, ROW_ID
+    from liken_ray.engine.executor import drop_duplicates_ray
 
-    ds = _docs(sf_dir)
-    keep_rows = (
-        ds.select_columns(["text", "doc_id"])
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="keep_id"))
-        .select_columns(["keep_id"])
-        .take_all()
+    keyed = _docs(sf_dir).map_batches(
+        lambda t: t.append_column(CANONICAL_ID, t["text"]).append_column(
+            ROW_ID, t["doc_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    keep_ids = np.sort(np.array([r["keep_id"] for r in keep_rows], dtype=np.int64))
-    ref = ray.put(keep_ids)
-
-    def semi_join(batch: pa.Table) -> pa.Table:
-        from liken_ray.engine.components import sorted_membership_mask
-
-        keep = ray.get(ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(sorted_membership_mask(ids, keep)))
-
-    return ds.map_batches(semi_join, batch_format="pyarrow")
+    out = drop_duplicates_ray(keyed, "first")
+    return out.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
 
 
 def _canonicals_documents(sf_dir: str):
+    """(min doc_id, cluster size) per exact-text group, incl. singletons
+    (n>=1: the n>=2 liken default yields an empty table on dup-free inputs
+    and empty Datasets lose their schema through the driver conversion; the
+    >=2 semantics is covered by the pytest goldens). ONE sort + segmented
+    run scan + O(blocks) boundary stitch — no Aggregate operator (the repo
+    measured it at ~2x a sort at table cardinality): inner runs are final
+    in the workers; the two runs per block that can straddle boundaries
+    merge driver-side (sum counts, min doc_id) keyed by the text itself."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min
+    import ray.data
 
-    agg = (
+    srt = (
         _docs(sf_dir)
-        .groupby("text")
-        .aggregate(Min("doc_id", alias_name="canonical_id"), Count(alias_name="cnt"))
+        .select_columns(["text", "doc_id"])
+        .sort(["text", "doc_id"])
+        .materialize()
     )
-    # n>=1 (cluster sizes incl. singletons): the n>=2 liken default yields
-    # an empty table on dup-free inputs, and empty Datasets lose their
-    # schema through the driver conversion; the >=2 semantics is covered by
-    # the pytest goldens instead.
-    del pc
-    return agg.select_columns(["canonical_id", "cnt"])
+
+    def run_counts(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "canonical_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "edge": pa.array([], pa.bool_()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t = np.asarray(txt.to_pylist(), dtype=object)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(t[1:] != t[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(t)]]))
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                # doc_id ascending within a run -> first row is the min
+                "canonical_id": pa.array(did[starts], pa.int64()),
+                "cnt": pa.array(lens, pa.int64()),
+                "edge": pa.array(edge),
+                "key": txt.take(pa.array(starts, pa.int64())),
+            }
+        )
+
+    blocks = srt.map_batches(
+        run_counts, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    inner = blocks.map_batches(
+        lambda tb: tb.filter(pc.invert(tb["edge"])).drop_columns(["edge", "key"]),
+        batch_format="pyarrow",
+    )
+    merged: dict[str, list[int]] = {}
+    for r in blocks.map_batches(
+        lambda tb: tb.filter(tb["edge"]), batch_format="pyarrow"
+    ).take_all():
+        m = merged.get(r["key"])
+        if m is None:
+            merged[r["key"]] = [int(r["canonical_id"]), int(r["cnt"])]
+        else:
+            m[0] = min(m[0], int(r["canonical_id"]))
+            m[1] += int(r["cnt"])
+    drv = pa.table(
+        {
+            "canonical_id": pa.array([v[0] for v in merged.values()], pa.int64()),
+            "cnt": pa.array([v[1] for v in merged.values()], pa.int64()),
+        }
+    )
+    return inner.union(ray.data.from_arrow(drv))
 
 
 def _synthesize_documents(sf_dir: str):
@@ -479,6 +528,17 @@ def _tumbling_window_events(sf_dir: str):
     )
 
 
+def _sliding_window_events(sf_dir: str):
+    from liken_ray.extras.windows import sliding_window_counts
+
+    return sliding_window_counts(
+        _read(sf_dir, "events", columns=["ts", "event_type"]),
+        window_s=3600,
+        slide_s=900,
+        key_col="event_type",
+    )
+
+
 def _sessionize_events(sf_dir: str):
     from liken_ray.extras.windows import sessionize
 
@@ -535,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings_ivf": _ann_topk_embeddings_ivf,
         "ann_topk_embeddings_ivf_indexed": _ann_topk_embeddings_ivf_indexed,
         "tumbling_window_events": _tumbling_window_events,
+        "sliding_window_events": _sliding_window_events,
         "sessionize_events": _sessionize_events,
         "events_by_type": _events_by_type,
         "orders_per_customer": _orders_per_customer,
@@ -754,6 +815,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) "
             "AS window_start, event_type, COUNT(*) AS cnt "
             "FROM events GROUP BY 1, 2"
+        ),
+        "sliding_window_events": (
+            # row replication via a generate_series lateral join mirrors the
+            # engine's explode: each event lands in window_s/slide_s sliding
+            # windows ending at-or-after it
+            "SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000) "
+            "AS window_start, event_type, COUNT(*) AS cnt "
+            "FROM events, generate_series(0, 3) AS t(j) "
+            "WHERE ((epoch_us(ts) // 900000000) - j) * 900000000 + 3600000000 "
+            "> epoch_us(ts) "
+            "GROUP BY 1, 2"
         ),
         "sessionize_events": (
             "WITH o AS (SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER "

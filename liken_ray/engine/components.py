@@ -431,26 +431,34 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
         rows = srt.map_batches(
             summarize, batch_format="pyarrow", batch_size=None
         ).take_all()
-        rows.sort(key=lambda r: (r["fu"], r["fv"]))
         n = 0
         sig = 0
-        prev_last = None
         corr: dict[int, int] = {}
+        # Each block's nr/sr cover its unique rows EXCEPT its first pair, so
+        # a distinct first pair p is already counted iff some block holds
+        # p's run-start AND p is not that block's first pair — exactly when
+        # some block's last pair == p with first != last (copies of p are
+        # globally adjacent, so at most one such block exists). Set algebra
+        # is order-independent: duplicates of one hot pair may fill entire
+        # blocks, giving several blocks the same first pair, and the former
+        # prev-last chain walk silently depended on a stable block order.
+        firsts: set[tuple[int, int]] = set()
+        covered: set[tuple[int, int]] = set()
         for r in rows:
             first = (int(r["fu"]), int(r["fv"]))
-            if first != prev_last:
-                n += 1
-                sig += int(
-                    _pair_sig(
-                        np.array([first[0]], dtype=np.int64),
-                        np.array([first[1]], dtype=np.int64),
-                    )
-                )
+            last = (int(r["lu"]), int(r["lv"]))
+            firsts.add(first)
+            if last != first:
+                covered.add(last)
             n += int(r["nr"])
             sig = (sig + int(r["sr"])) & 0xFFFFFFFFFFFFFFFF
-            prev_last = (int(r["lu"]), int(r["lv"]))
             for ku, kv in ((int(r["fu"]), int(r["mf"])), (int(r["lu"]), int(r["ml"]))):
                 corr[ku] = min(corr.get(ku, kv), kv)
+        uncounted = firsts - covered
+        if uncounted:
+            fp = np.array(sorted(uncounted), dtype=np.int64).reshape(-1, 2)
+            n += len(fp)
+            sig = (sig + int(_pair_sig(fp[:, 0], fp[:, 1]))) & 0xFFFFFFFFFFFFFFFF
         corr_u = np.array(sorted(corr), dtype=np.int64)
         corr_m = np.array([corr[int(x)] for x in corr_u], dtype=np.int64)
         corr_ref = ray.put((corr_u, corr_m))
@@ -516,6 +524,15 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
         if small:
             rounds += 1
         small = not small
+
+    if not converged and prev_large is not None:
+        # the loop bound can land right after a final small-star, skipping
+        # the check that only runs at large-star entry — run the closing
+        # signature comparison so a run that DID reach the star fixpoint on
+        # its last alternation is reported converged (no spurious warning)
+        _, _, n, sig = sorted_pass(cur)
+        if n == 0 or prev_large == (n, sig):
+            converged = True
 
     if stats is not None:
         stats["cc_rounds"] = rounds

@@ -619,6 +619,24 @@ def _execute_partition_scope(ds, dedupers, columns, keep, drop_duplicates, drop_
 # ---------------------------------------------------------------------------
 
 
+def _canon_np(canon) -> np.ndarray:
+    """Numpy view of the canonical-id column for sort-scan run detection.
+
+    Non-null integer columns take the zero-copy numpy fast path; every
+    other reference-supported canonical id type — string ids
+    (``core/wrapper.py``: the canonical id "can also be a string field",
+    exercised by ``tests/integration/test_matrix_id.py``), floats, bools,
+    nullable or null-typed columns — falls back to a python-object array:
+    equality-exact (no int() coercion / float truncation) and hashable for
+    the O(blocks) driver-side boundary maps. ``None != None`` is False for
+    object arrays, so null runs stay contiguous."""
+    if isinstance(canon, pa.ChunkedArray):
+        canon = canon.combine_chunks()
+    if pa.types.is_integer(canon.type) and canon.null_count == 0:
+        return canon.to_numpy(zero_copy_only=False)
+    return np.asarray(canon.to_pylist(), dtype=object)
+
+
 def drop_duplicates_ray(ds, keep: str):
     """Keep first/last row per canonical_id in row order — fully
     distributed, map_groups-free, join-free and Aggregate-free: ONE sort
@@ -631,30 +649,37 @@ def drop_duplicates_ray(ds, keep: str):
     formulation: Ray's Aggregate operator costs ~2x a sort at
     table-cardinality keys, the join placed an aggregator actor pool, and
     Arrow's hash join rejected nested / dictionary / null-typed payload
-    columns (a sort carries any schema). A final sort restores the
-    reference's original-row-order output contract."""
+    columns (a sort carries any schema). Canonical ids may be any scalar
+    type (see ``_canon_np``) — boundary keys travel as native arrow values
+    and hash into a plain dict. A final sort restores the reference's
+    original-row-order output contract."""
     first = keep == "first"
     srt = ds.sort([CANONICAL_ID, ROW_ID]).materialize()
+    canon_type = _arrow_schema(srt).field(CANONICAL_ID).type
 
     def summarize(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
-                {"bc": pa.array([], pa.int64()), "br": pa.array([], pa.int64())}
+                {"bc": pa.array([], canon_type), "br": pa.array([], pa.int64())}
             )
-        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        canon = batch[CANONICAL_ID]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        cid = _canon_np(canon)
         rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
         # rid sorted within a run: block-local keeper candidate for the
         # first run is its first row (keep=first) / last row (keep=last),
         # symmetrically for the last run
+        n = batch.num_rows
         if cid[0] != cid[-1]:
             first_end = int(np.flatnonzero(cid != cid[0]).min() - 1)
             last_start = int(np.flatnonzero(cid != cid[-1]).max() + 1)
         else:
-            first_end = batch.num_rows - 1
+            first_end = n - 1
             last_start = 0
         return pa.table(
             {
-                "bc": pa.array([int(cid[0]), int(cid[-1])], pa.int64()),
+                "bc": canon.take(pa.array([0, n - 1], pa.int64())),
                 "br": pa.array(
                     [
                         int(rid[0 if first else first_end]),
@@ -666,34 +691,37 @@ def drop_duplicates_ray(ds, keep: str):
         )
 
     pick = min if first else max
-    boundary: dict[int, int] = {}
+    boundary: dict[Any, int] = {}
     for r in srt.map_batches(
         summarize, batch_format="pyarrow", batch_size=None
     ).take_all():
-        bc, br = int(r["bc"]), int(r["br"])
+        bc, br = r["bc"], int(r["br"])
         boundary[bc] = pick(boundary.get(bc, br), br)
-    b_cids = np.array(sorted(boundary), dtype=np.int64)
-    b_rids = np.array([boundary[int(c)] for c in b_cids], dtype=np.int64)
-    b_ref = ray.put((b_cids, b_rids))
+    b_ref = ray.put(boundary)
 
     def keep_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        cid = _canon_np(batch[CANONICAL_ID])
         rid = batch[ROW_ID].to_numpy(zero_copy_only=False)
         n = batch.num_rows
         starts = np.concatenate([[0], np.flatnonzero(cid[1:] != cid[:-1]) + 1])
         ends = np.concatenate([starts[1:] - 1, [n - 1]])
         keepers = starts if first else ends
-        bc, br = ray.get(b_ref)
-        if bc.size:
-            pos = np.searchsorted(bc, cid[keepers])
-            safe = np.minimum(pos, len(bc) - 1)
-            is_boundary = (pos < len(bc)) & (bc[safe] == cid[keepers])
-            # boundary canonicals: keep only the row holding the global
-            # keeper rid (it exists in exactly one block)
-            winner = rid[keepers] == br[safe]
-            mask = ~is_boundary | winner
+        bdict = ray.get(b_ref)
+        if bdict:
+            # globally sorted input ⇒ a canonical spanning blocks is the
+            # first or last run of every block it touches, so only the
+            # first and last keeper can be a boundary canonical: keep a
+            # boundary keeper only where it holds the global keeper rid
+            # (which exists in exactly one block)
+            mask = np.ones(len(keepers), dtype=bool)
+            for j in {0, len(keepers) - 1}:
+                kpos = int(keepers[j])
+                c = cid[kpos]
+                win = bdict.get(c.item() if isinstance(c, np.generic) else c)
+                if win is not None and int(rid[kpos]) != win:
+                    mask[j] = False
             keepers = keepers[mask]
         return batch.take(pa.array(keepers, pa.int64()))
 
@@ -717,21 +745,27 @@ def canonicals_counts_ray(ds, n: int = 2) -> dict[Any, int]:
     same rows (a canonical spanning blocks is a first/last run in every
     block it touches, so its partial counts all arrive). The driver pull
     is O(distinct canonicals in qualifying clusters + blocks), and the
-    n-filter for interior runs happens in the workers."""
+    n-filter for interior runs happens in the workers. Canonical ids may
+    be any scalar type (see ``_canon_np``): run keys are emitted as native
+    arrow values and keep their type in the returned dict."""
     import ray as _ray
 
     srt = ds.select_columns([CANONICAL_ID]).sort(CANONICAL_ID).materialize()
+    canon_type = _arrow_schema(srt).field(CANONICAL_ID).type
 
     def run_counts(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "cid": pa.array([], pa.int64()),
+                    "cid": pa.array([], canon_type),
                     "cnt": pa.array([], pa.int64()),
                     "edge": pa.array([], pa.bool_()),
                 }
             )
-        cid = batch[CANONICAL_ID].to_numpy(zero_copy_only=False)
+        canon = batch[CANONICAL_ID]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        cid = _canon_np(canon)
         m = batch.num_rows
         starts = np.concatenate([[0], np.flatnonzero(cid[1:] != cid[:-1]) + 1])
         lens = np.diff(np.concatenate([starts, [m]]))
@@ -741,18 +775,18 @@ def canonicals_counts_ray(ds, n: int = 2) -> dict[Any, int]:
         keep = edge | (lens >= n)  # interior runs filter distributed
         return pa.table(
             {
-                "cid": pa.array(cid[starts][keep], pa.int64()),
+                "cid": canon.take(pa.array(starts[keep], pa.int64())),
                 "cnt": pa.array(lens[keep], pa.int64()),
                 "edge": pa.array(edge[keep], pa.bool_()),
             }
         )
 
-    counts: dict[int, int] = {}
-    edge_counts: dict[int, int] = {}
+    counts: dict[Any, int] = {}
+    edge_counts: dict[Any, int] = {}
     for r in srt.map_batches(
         run_counts, batch_format="pyarrow", batch_size=None
     ).take_all():
-        cid, cnt = int(r["cid"]), int(r["cnt"])
+        cid, cnt = r["cid"], int(r["cnt"])
         if r["edge"]:
             edge_counts[cid] = edge_counts.get(cid, 0) + cnt
         else:

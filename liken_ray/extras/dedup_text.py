@@ -15,6 +15,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -147,19 +148,22 @@ def _minhash_band_rows(
     """(id, band, key[, text]) band rows for one batch. ``with_payload``
     replicates the text onto its band rows so candidate pairs can be
     verified inside the sorted blocks (flagship pattern)."""
-    texts = batch[text_col].to_pylist()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    keep = np.array(
-        [i for i, t in enumerate(texts) if t is not None and len(t) >= ngram],
-        dtype=np.int64,
-    )
+    # vectorized null/too-short filter (no python row loop before the
+    # signature kernel): utf8_length is codepoint-exact like len(str)
+    m = pc.fill_null(pc.greater_equal(pc.utf8_length(col), ngram), False)
+    keep = np.flatnonzero(m.to_numpy(zero_copy_only=False))
     if not len(keep):
         cols = {id_col: pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
                 "key": pa.array([], pa.uint64())}
         if with_payload:
             cols[text_col] = pa.array([], batch.schema.field(text_col).type)
         return pa.table(cols)
-    kept_texts = [texts[i] for i in keep]
+    kept = col.filter(m)
+    kept_texts = kept.to_pylist()
     ids = ids[keep]
     sigs = mh.batch_signatures(kept_texts, ngram, num_perm)
     keys = mh.band_keys(sigs, b, r)

@@ -72,8 +72,8 @@ def test_distributed_label_propagation_matches_networkx(ray_session, seed):
 def test_distributed_long_chain_converges_logarithmically(ray_session):
     """A 400-node path graph has diameter 399: one-hop propagation needs
     ~400 rounds (and would silently under-merge at max_rounds=50); the
-    pointer-jumping shortcut must converge in O(log n) rounds with every
-    node labelled 0."""
+    alternating large-star/small-star contraction must converge in
+    O(log n) alternations with every node labelled 0."""
     import pyarrow as pa
     import ray.data
 
@@ -99,3 +99,26 @@ def test_numpy_components_match_networkx(seed):
     src = np.array([e[0] for e in edges], dtype=np.int64)
     dst = np.array([e[1] for e in edges], dtype=np.int64)
     assert connected_components_edges_numpy(src, dst) == _nx_labels(edges)
+
+
+def test_distributed_hot_pair_fills_blocks(ray_session):
+    """A single hot (m, v) pair duplicated enough to fill whole sorted
+    blocks: several blocks then share the same FIRST pair, and the
+    convergence signature must still count each distinct pair exactly once
+    regardless of block order (set-based dedupe — the former prev-last
+    chain walk depended on a stable block order)."""
+    import pyarrow as pa
+    import ray.data
+
+    hot = np.zeros(5000, dtype=np.int64)  # 5000 copies of (0, 1)
+    src = np.concatenate([hot, np.array([1, 3, 7], dtype=np.int64)])
+    dst = np.concatenate([hot + 1, np.array([2, 4, 9], dtype=np.int64)])
+    edges_ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})).repartition(8)
+
+    stats: dict = {}
+    labels_ds = connected_components_distributed(edges_ds, stats=stats)
+    got = {r["node"]: r["label"] for r in labels_ds.take_all()}
+    edges = list(zip(src.tolist(), dst.tolist()))
+    assert got == _nx_labels(edges)
+    assert stats["cc_converged"]
+    assert stats["cc_unique_edges"] == 4

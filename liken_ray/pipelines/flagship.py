@@ -93,6 +93,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # repartition (≈4 blocks/CPU) then sets every stage's parallelism;
     # bundling blocks up to a row target would halve the task count
     "bucket_pair_cap": 64,
+    # dataset-scope PSNR: candidate pixels are packed into one object per
+    # ~psnr_pack_rows candidates (range-partitioned by rid) — bounds the
+    # largest single object-store allocation; confirm tasks fetch only the
+    # ranges their edge batch touches
+    "psnr_pack_rows": 4096,
     "edge_uf_limit": 5_000_000,
     "batch_size": None,
     # stage_barriers True (single-node default): materialize the ingested
@@ -592,7 +597,54 @@ def _image_band_stage(batch: pa.Table, *, bands: int) -> pa.Table:
     )
 
 
-def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
+def _distinct_endpoints(edges_ds) -> np.ndarray:
+    """Distinct endpoint rids of an edge Dataset, deduplicated DISTRIBUTED
+    (one sort shuffle + per-block adjacent-unique scans, the
+    ``dedupe_edges_dataset`` pattern on one column) so the driver's peak is
+    O(distinct candidates) — never O(edge endpoints): copies of a rid are
+    globally adjacent after the sort; each block keeps its unique values
+    except its FIRST (the only value that can continue from the previous
+    block), and the O(blocks) distinct first values are added once."""
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"r": np.unique(np.concatenate([src, dst]).astype(np.int64))})
+
+    srt = edges_ds.map_batches(endpoints, batch_format="pyarrow").sort("r").materialize()
+
+    def interior(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.int64()), "f": pa.array([], pa.bool_())})
+        r = t["r"].to_numpy(zero_copy_only=False)
+        uniq = np.ones(len(r), dtype=bool)
+        uniq[1:] = r[1:] != r[:-1]
+        r = r[uniq]
+        f = np.zeros(len(r), dtype=bool)
+        f[0] = True
+        return pa.table({"r": r, "f": f})
+
+    parts: list[np.ndarray] = []
+    firsts: set[int] = set()
+    for b in srt.map_batches(
+        interior, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        r = b["r"].to_numpy(zero_copy_only=False)
+        f = b["f"].to_numpy(zero_copy_only=False)
+        firsts.update(r[f].tolist())
+        parts.append(r[~f])
+    if firsts:
+        parts.append(np.fromiter(firsts, dtype=np.int64, count=len(firsts)))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    out = np.concatenate(parts)
+    out.sort()
+    return out
+
+
+def _psnr_confirm_dataset(edges_ds, ds, cfg, source, stats: dict | None = None):
     """Decoded-pixel PSNR confirmation for ``edges_scope='dataset'``.
 
     Deliberately NO ``Dataset.join``: Ray 2.49's hash join places an actor
@@ -602,32 +654,30 @@ def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
     pending tasks starve each other). Instead everything is the repo's
     broadcast-semi-join idiom:
 
-    1. distinct candidate endpoint rids pulled as ONE packed int64 array
-       (no python rows; 8 B per endpoint — bounded by the verified dup
-       pairs, the same order the checkpointed edge count already is);
+    1. distinct candidate endpoint rids deduped DISTRIBUTED (the driver
+       peak is O(candidates), never O(edge endpoints) — see
+       ``_distinct_endpoints``);
     2. candidate bytes re-read from the source with a broadcast
-       membership filter (non-candidate bytes never leave storage),
-       decoded in the workers, and packed into a single object-store
-       pixel buffer by a Ray task (pixels never touch the driver —
-       the actual memory hog, and the reason this beats driver scope);
-    3. a vectorized searchsorted kernel over the edge Dataset confirms
-       each pair against the zero-copy buffer.
+       membership filter (non-candidate bytes never leave storage) and
+       decoded in the workers — pixels never touch the driver;
+    3. decoded pixels are range-partitioned by rid (``psnr_pack_rows``
+       candidates per range) and packed into ONE object-store buffer PER
+       RANGE — no single whole-candidate-set allocation, so the largest
+       object stays bounded however many candidates a corpus produces;
+    4. a vectorized searchsorted kernel over the edge Dataset confirms
+       each pair, fetching only the packed ranges its batch touches.
 
     Mirrors the driver path's semantics: missing or shape-mismatched
     pixels drop the pair; PSNR >= psnr_min_db keeps it."""
     from liken_ray.io.read import safe_read_parquet
 
-    parts: list[np.ndarray] = []
-    for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        if b.num_rows:
-            parts.append(b["src"].to_numpy(zero_copy_only=False))
-            parts.append(b["dst"].to_numpy(zero_copy_only=False))
-    if not parts:
+    cand = _distinct_endpoints(edges_ds)
+    if not len(cand):
         return edges_ds
-    cand = np.unique(np.concatenate(parts).astype(np.int64))
 
     # rid -> image_id for candidates only (the byte re-read is keyed by
-    # image_id; the pairs table carries no rid)
+    # image_id; the pairs table carries no rid). O(candidates) ids on the
+    # driver — ids, not pixels; the memory hog stays distributed.
     id_map = _broadcast_column(ds, cand, "image_id")
     ids_arr = np.array([id_map[int(r)] for r in cand if int(r) in id_map])
     rids_arr = np.array([r for r in cand if int(r) in id_map], dtype=np.int64)
@@ -659,15 +709,23 @@ def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
             }
         )
 
-    px_ds = (
+    # range-partition by rid: repartition to the chunk count, then ONE sort
+    # puts each chunk on a contiguous rid range (blocks of a sorted Dataset
+    # are range partitions) — the shuffle moves candidate pixels only
+    n_chunks = max(1, -(-len(cand) // int(cfg.get("psnr_pack_rows", 4096))))
+    px_sorted = (
         safe_read_parquet(source, columns=["image_id", "bytes", "w", "h", "fmt"])
         .map_batches(decode, batch_format="pyarrow")
+        .repartition(n_chunks)
+        .sort("rid_")
         .materialize()
     )
 
-    @ray.remote
-    def _pack(*tables: pa.Table):
-        t = pa.concat_tables(list(tables), promote_options="default")
+    @ray.remote(num_returns=2)
+    def _pack(block):
+        from ray.data.block import BlockAccessor
+
+        t = BlockAccessor.for_block(block).to_arrow()
         rid = t["rid_"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(rid)
         rid = rid[o]
@@ -683,32 +741,75 @@ def _psnr_confirm_dataset(edges_ds, ds, cfg, source):
         shp = np.stack(
             [t[c].to_numpy(zero_copy_only=False).astype(np.int64)[o] for c in ("sh", "sw", "sc")],
             axis=1,
+        ) if len(lens) else np.empty((0, 3), dtype=np.int64)
+        meta = (int(rid[0]), int(rid[-1]), int(offs[-1])) if len(rid) else None
+        return meta, (rid, offs, buf, shp)
+
+    payload_refs: list = []
+    metas: list = []
+    for bundle in px_sorted.iter_internal_ref_bundles():
+        for ref, bmeta in zip(bundle.block_refs, bundle.metadata):
+            if bmeta.num_rows == 0:
+                continue
+            m_ref, p_ref = _pack.remote(ref)
+            metas.append(m_ref)
+            payload_refs.append(p_ref)
+    metas = [m for m in ray.get(metas) if m is not None]
+    if stats is not None:
+        stats["psnr_pack_chunks"] = len(payload_refs)
+        stats["psnr_pack_max_bytes"] = max((m[2] for m in metas), default=0)
+    if not metas:
+        return edges_ds.map_batches(
+            lambda t: t.select(["src", "dst"]).slice(0, 0), batch_format="pyarrow"
         )
-        return rid, offs, buf, shp
+    lo = np.array([m[0] for m in metas], dtype=np.int64)
+    hi = np.array([m[1] for m in metas], dtype=np.int64)
+    bounds_ref = ray.put((lo, hi))
 
-    packed_ref = _pack.remote(*px_ds.to_arrow_refs())
-
-    def confirm(t: pa.Table) -> pa.Table:
-        rid_s, offs, buf, shp = ray.get(packed_ref)
+    # payload refs travel inside the task closure (borrowed-ref counting
+    # keeps the packed objects alive); workers ray.get ONLY the ranges
+    # their edge batch touches
+    def confirm(t: pa.Table, refs=tuple(payload_refs)) -> pa.Table:
         n = t.num_rows
-        if n == 0 or not len(rid_s):
+        if n == 0:
             return t.select(["src", "dst"]).slice(0, 0)
+        lo_, hi_ = ray.get(bounds_ref)
         src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-        def find(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            p = np.clip(np.searchsorted(rid_s, x), 0, len(rid_s) - 1)
-            return p, rid_s[p] == x
+        def chunk_of(x: np.ndarray) -> np.ndarray:
+            c = np.searchsorted(lo_, x, side="right") - 1
+            ok = (c >= 0) & (x <= hi_[np.clip(c, 0, len(hi_) - 1)])
+            return np.where(ok, c, -1)
 
-        pa_pos, a_hit = find(src)
-        pb_pos, b_hit = find(dst)
+        ca, cb = chunk_of(src), chunk_of(dst)
+        need = np.unique(np.concatenate([ca[ca >= 0], cb[cb >= 0]]))
+        packed = dict(zip(need.tolist(), ray.get([refs[int(i)] for i in need])))
+
+        def find(x: np.ndarray, c: np.ndarray):
+            pos = np.full(len(x), -1, dtype=np.int64)
+            hit = np.zeros(len(x), dtype=bool)
+            for ci in need:
+                rid_s = packed[int(ci)][0]
+                sel = c == ci
+                p = np.clip(np.searchsorted(rid_s, x[sel]), 0, len(rid_s) - 1)
+                h = rid_s[p] == x[sel]
+                pos[sel] = p
+                hit[sel] = h
+            return pos, hit
+
+        pa_pos, a_hit = find(src, ca)
+        pb_pos, b_hit = find(dst, cb)
         keep = np.zeros(n, dtype=bool)
         both = a_hit & b_hit
-        both &= (shp[pa_pos] == shp[pb_pos]).all(axis=1)
         for i in np.flatnonzero(both):
+            rid_a, offs_a, buf_a, shp_a = packed[int(ca[i])]
+            rid_b, offs_b, buf_b, shp_b = packed[int(cb[i])]
             ai, bi = int(pa_pos[i]), int(pb_pos[i])
-            a = buf[offs[ai] : offs[ai + 1]]
-            b = buf[offs[bi] : offs[bi + 1]]
+            if not (shp_a[ai] == shp_b[bi]).all():
+                continue
+            a = buf_a[offs_a[ai] : offs_a[ai + 1]]
+            b = buf_b[offs_b[bi] : offs_b[bi + 1]]
             keep[i] = ph.psnr(a, b) >= cfg["psnr_min_db"]
         return t.select(["src", "dst"]).filter(pa.array(keep))
 
@@ -742,10 +843,12 @@ def _image_edges(ds, cfg, ckpt: Checkpointer, source) -> list[tuple[int, int]]:
         hamming_verified = edges_ds.count()
         if cfg["psnr_verify"]:
             if isinstance(source, str):
+                psnr_stats: dict[str, Any] = {}
                 edges_ds = _psnr_confirm_dataset(
-                    edges_ds, ds, cfg, source
+                    edges_ds, ds, cfg, source, stats=psnr_stats
                 ).materialize()
                 record_kwargs["psnr_confirmed"] = edges_ds.count()
+                record_kwargs.update(psnr_stats)
             else:
                 # bytes can only be re-read from a path source (the
                 # ingested table is pruned to (rid, image_id, caption,
@@ -893,6 +996,177 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     return out
 
 
+def _assign_dataset_scope(ds, labels_ds):
+    """Distributed endgame for the cluster-scale path: relabel every row and
+    resolve cluster-representative image ids WITHOUT materializing the label
+    array or a rep-id dict on the driver. Labels are bounded by dup volume —
+    at the 10^12-row design point with a high dup fraction the label array
+    IS the dataset, so the former broadcast (``ray.put`` of every clustered
+    node's label + a python rep dict) was the one remaining scale-killer.
+
+    Two sort-merge passes, each the repo's sort + segmented scan + O(blocks)
+    boundary stitch — no ``Dataset.join`` (join aggregator actor pools
+    deadlock under stage concurrency, see CLAUDE.md) and no Aggregate
+    operator:
+
+    1. **label attach**: union (k=node, tag=0, label) rows with (k=rid,
+       tag=1, image_id) rows, ONE sort by (k, tag). Node ids are rids and
+       both sides are unique, so every k-run is <=2 rows with the label row
+       first; the only cross-block case — a label row ending block i with
+       its data row opening block i+1 — is resolved from O(blocks) last-row
+       summaries broadcast as a small dict.
+    2. **rep resolve**: sort (rid, image_id, cluster_id) by (cluster_id,
+       rid). A cluster's representative row (rid == cluster_id: labels are
+       component-min rids and singletons label themselves) is its run's
+       globally FIRST row, so inner runs fill ``cluster_image_id`` from
+       their first row; only a block's first run can be a continuation
+       (global sort contiguity) and fills from an O(blocks) driver map
+       built from first/last-run summaries.
+    """
+    import ray.data
+
+    # ---- pass 1: attach cluster labels to rows ----
+    def data_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch[RID].cast(pa.int64()),
+                "tag": pa.array(np.ones(n, dtype=np.int8)),
+                "image_id": batch["image_id"],
+                "label": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch["node"].cast(pa.int64()),
+                "tag": pa.array(np.zeros(n, dtype=np.int8)),
+                "image_id": pa.nulls(n, pa.string()),
+                "label": batch["label"].cast(pa.int64()),
+            }
+        )
+
+    srt1 = (
+        ds.map_batches(data_rows, batch_format="pyarrow")
+        .union(labels_ds.map_batches(label_rows, batch_format="pyarrow"))
+        .sort(["k", "tag"])
+        .materialize()
+    )
+
+    def last_row(batch: pa.Table) -> pa.Table:
+        sub = batch.select(["k", "tag", "label"])
+        return sub.slice(max(0, batch.num_rows - 1))
+
+    bmap: dict[int, int] = {}
+    for r in srt1.map_batches(
+        last_row, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        if r["tag"] == 0:  # label row ends the block: its data row opens the next
+            bmap[int(r["k"])] = int(r["label"])
+    b_ref = ray.put(bmap)
+
+    def emit_labelled(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    RID: pa.array([], pa.int64()),
+                    "image_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        tag = batch["tag"].to_numpy(zero_copy_only=False)
+        lab = pc.fill_null(batch["label"], -1).to_numpy(zero_copy_only=False)
+        is_data = tag == 1
+        cluster = k.copy()
+        prev_is_label = np.zeros(len(k), dtype=bool)
+        prev_is_label[1:] = (tag[:-1] == 0) & (k[:-1] == k[1:])
+        take = is_data & prev_is_label
+        idx = np.flatnonzero(take)
+        cluster[idx] = lab[idx - 1]
+        if is_data[0]:  # label row (if any) ended the previous block
+            v = ray.get(b_ref).get(int(k[0]))
+            if v is not None:
+                cluster[0] = v
+        m = pa.array(is_data)
+        return pa.table(
+            {
+                RID: pa.array(k[is_data], pa.int64()),
+                "image_id": batch["image_id"].filter(m),
+                "cluster_id": pa.array(cluster[is_data], pa.int64()),
+            }
+        )
+
+    labelled = srt1.map_batches(emit_labelled, batch_format="pyarrow", batch_size=None)
+
+    # ---- pass 2: resolve cluster representative image ids ----
+    srt2 = labelled.sort(["cluster_id", RID]).materialize()
+
+    def summarize_reps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "rrid": pa.array([], pa.int64()),
+                    "img": pa.array([], pa.string()),
+                }
+            )
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        rid = batch[RID].to_numpy(zero_copy_only=False)
+        last_start = (
+            int(np.flatnonzero(cid != cid[-1]).max() + 1) if cid[0] != cid[-1] else 0
+        )
+        idx = pa.array([0, last_start], pa.int64())
+        return pa.table(
+            {
+                "cid": pa.array(cid[[0, last_start]], pa.int64()),
+                "rrid": pa.array(rid[[0, last_start]], pa.int64()),
+                "img": batch["image_id"].take(idx),
+            }
+        )
+
+    rep_map: dict[int, str] = {}
+    for r in srt2.map_batches(
+        summarize_reps, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        if r["rrid"] == r["cid"]:  # this block holds the cluster's rep row
+            rep_map[int(r["cid"])] = r["img"]
+    rep_ref = ray.put(rep_map)
+
+    def emit_assignments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "cluster_image_id": pa.array([], pa.string()),
+                }
+            )
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        rid = batch[RID].to_numpy(zero_copy_only=False)
+        img = batch["image_id"]
+        if isinstance(img, pa.ChunkedArray):
+            img = img.combine_chunks()
+        starts = np.concatenate([[0], np.flatnonzero(cid[1:] != cid[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(cid)]]))
+        rep_img = img.take(pa.array(np.repeat(starts, lens), pa.int64()))
+        # only the block's FIRST run can lack its rep row (continuation of
+        # a cluster whose rep lives in an earlier block)
+        if rid[0] != cid[0]:
+            fix = ray.get(rep_ref)[int(cid[0])]
+            head = int(lens[0])
+            mask = np.zeros(len(cid), dtype=bool)
+            mask[:head] = True
+            rep_img = pc.if_else(pa.array(mask), pa.scalar(fix, pa.string()), rep_img)
+        return pa.table(
+            {"image_id": img, "cluster_id": cid, "cluster_image_id": rep_img}
+        )
+
+    return srt2.map_batches(emit_assignments, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -1008,57 +1282,55 @@ def run_flagship(
             )
         else:
             lab_keys = lab_vals = np.empty(0, dtype=np.int64)
-    else:
-        labels_ds = connected_components_distributed(all_edges, stats=cc_stats)
-        node_parts, lab_parts = [], []
-        for batch in labels_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-            if batch.num_rows:
-                node_parts.append(batch["node"].to_numpy(zero_copy_only=False))
-                lab_parts.append(batch["label"].to_numpy(zero_copy_only=False))
-        if node_parts:
-            nodes = np.concatenate(node_parts).astype(np.int64)
-            labs = np.concatenate(lab_parts).astype(np.int64)
-            order = np.argsort(nodes)
-            lab_keys, lab_vals = nodes[order], labs[order]
-        else:
-            lab_keys = lab_vals = np.empty(0, dtype=np.int64)
-    ckpt.record(
-        "components",
-        wall_s=round(time.perf_counter() - t0, 3),
-        labeled=len(lab_keys),
-        **cc_stats,
-    )
-
-    # rep image ids for user-facing cluster labels; the relabel map is
-    # broadcast as sorted parallel arrays and applied via searchsorted
-    # (vectorized — no per-row dict lookups or python dict of V labels
-    # anywhere on the driver)
-    reps = set(np.unique(lab_vals).tolist())
-    rep_ids = _broadcast_column(ds, reps, "image_id")
-    lab_ref = ray.put((lab_keys, lab_vals))
-    rep_ref = ray.put(rep_ids)
-
-    def assign(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(lab_ref)
-        rep = ray.get(rep_ref)
-        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch["image_id"].to_pylist()
-        cluster = rid.copy()
-        if len(keys):
-            pos = np.searchsorted(keys, rid)
-            pos_c = np.clip(pos, 0, len(keys) - 1)
-            hit = keys[pos_c] == rid
-            cluster[hit] = vals[pos_c[hit]]
-        cluster_img = [rep.get(int(c), i) for c, i in zip(cluster, ids)]
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "cluster_id": cluster,
-                "cluster_image_id": pa.array(cluster_img, pa.string()),
-            }
+        ckpt.record(
+            "components",
+            wall_s=round(time.perf_counter() - t0, 3),
+            labeled=len(lab_keys),
+            **cc_stats,
         )
 
-    assignments = ds.map_batches(assign, batch_format="pyarrow")
+        # rep image ids for user-facing cluster labels; the relabel map is
+        # broadcast as sorted parallel arrays and applied via searchsorted
+        # (vectorized — no per-row dict lookups or python dict of V labels
+        # anywhere on the driver)
+        reps = set(np.unique(lab_vals).tolist())
+        rep_ids = _broadcast_column(ds, reps, "image_id")
+        lab_ref = ray.put((lab_keys, lab_vals))
+        rep_ref = ray.put(rep_ids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lab_ref)
+            rep = ray.get(rep_ref)
+            rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = batch["image_id"].to_pylist()
+            cluster = rid.copy()
+            if len(keys):
+                pos = np.searchsorted(keys, rid)
+                pos_c = np.clip(pos, 0, len(keys) - 1)
+                hit = keys[pos_c] == rid
+                cluster[hit] = vals[pos_c[hit]]
+            cluster_img = [rep.get(int(c), i) for c, i in zip(cluster, ids)]
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "cluster_id": cluster,
+                    "cluster_image_id": pa.array(cluster_img, pa.string()),
+                }
+            )
+
+        assignments = ds.map_batches(assign, batch_format="pyarrow")
+    else:
+        # cluster-scale endgame: labels NEVER reach the driver — relabel +
+        # rep resolution run as two distributed sort-merges (see
+        # _assign_dataset_scope); the driver holds only O(blocks) summaries
+        labels_ds = connected_components_distributed(all_edges, stats=cc_stats)
+        ckpt.record(
+            "components",
+            wall_s=round(time.perf_counter() - t0, 3),
+            labeled=labels_ds.count(),
+            **cc_stats,
+        )
+        assignments = _assign_dataset_scope(ds, labels_ds)
 
     def write_assignments(stage_dir):
         if stage_dir is not None:

@@ -119,6 +119,6 @@ def test_flagship_distributed_components(ray_session, synth_dir):
     src = os.path.join(synth_dir, "pairs")
     a = run_flagship(src)["assignments"].take_all()
     b = run_flagship(src, {"edge_uf_limit": 0})["assignments"].take_all()
-    am = {r["image_id"]: r["cluster_id"] for r in a}
-    bm = {r["image_id"]: r["cluster_id"] for r in b}
+    am = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in a}
+    bm = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in b}
     assert am == bm

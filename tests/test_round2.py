@@ -536,8 +536,8 @@ def test_flagship_dataset_edges_scope_matches_driver(ray_session, tmp_path):
     a = run_flagship(src)["assignments"].take_all()
     res_b = run_flagship(src, {"edges_scope": "dataset", "edge_uf_limit": 0})
     b = res_b["assignments"].take_all()
-    am = {r["image_id"]: r["cluster_id"] for r in a}
-    bm = {r["image_id"]: r["cluster_id"] for r in b}
+    am = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in a}
+    bm = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in b}
     assert am == bm
     assert res_b["metrics"]["stages"]["caption_edges"].get("scope") == "dataset"
 

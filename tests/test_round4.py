@@ -74,3 +74,42 @@ def test_ray_nullable_int_id_drop_duplicates(ray_session):
     )
     rows = sorted(out.take_all(), key=lambda r: (r["nid"] is None, r["nid"]))
     assert [r["k"] for r in rows] == ["a", "c", "b"]
+
+
+# ---------------------------------------------------------------------------
+# chunked PSNR pixel pack (dataset scope)
+# ---------------------------------------------------------------------------
+
+
+def test_flagship_psnr_pack_is_chunked(ray_session, tmp_path):
+    """With a small psnr_pack_rows, a many-candidate corpus must split the
+    packed pixel buffers into multiple bounded objects (never one
+    whole-candidate-set allocation) while matching the driver-scope PSNR
+    clusters exactly."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=31, shards=3)
+    src = os.path.join(out, "pairs")
+    res_a = run_flagship(src, {"psnr_verify": True})
+    res_b = run_flagship(
+        src,
+        {
+            "psnr_verify": True,
+            "edges_scope": "dataset",
+            "edge_uf_limit": 0,
+            "psnr_pack_rows": 16,
+        },
+    )
+    am = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"])
+          for r in res_a["assignments"].take_all()}
+    bm = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"])
+          for r in res_b["assignments"].take_all()}
+    assert am == bm
+    img_stage = res_b["metrics"]["stages"]["image_edges"]
+    assert img_stage["psnr_pack_chunks"] > 1
+    # 16 candidates/chunk x 32x32x3 B — ragged partitioning slack allowed
+    assert img_stage["psnr_pack_max_bytes"] <= 3 * 16 * 32 * 32 * 3

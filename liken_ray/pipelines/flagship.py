@@ -161,6 +161,126 @@ def _ingest(source, cfg) -> ray.data.Dataset:
     return out.materialize() if cfg.get("stage_barriers", True) else out
 
 
+def _ranges_to_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``[starts[i], starts[i]+lens[i])`` ranges as one index
+    array (the vectorized gather/scatter helper for batch-level packing)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rel = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+    )
+    return np.repeat(starts, lens) + rel
+
+
+def _pack_caption_sketches(cap_arr, ngram: int, k: int) -> pa.Array:
+    """Batch-level verify-payload packing — ZERO per-row python. Captions
+    whose utf8 bytes fit the ``k*8``-byte budget are byte-packed verbatim
+    as ``[byte_len, padded uint64 words...]``; longer captions carry
+    ``[2^63 | unique_gram_count, bottom-k unique gram hashes...]``.
+
+    Short rows: one fancy-index scatter of the arrow data buffer into a
+    zero-padded byte plane viewed as uint64. Long rows: ONE rolling-hash
+    call over their concatenated bytes (the polynomial hash is
+    position-normalized, so in-segment windows equal per-caption hashes;
+    cross-boundary windows are masked out), then per-segment unique +
+    bottom-k via a single lexsort + segmented scans — chunked at ~4 MB of
+    text per hash call. Word-for-word identical to the former per-caption
+    loop (pinned by the round-4 parity test)."""
+    budget = k * 8
+    if isinstance(cap_arr, pa.ChunkedArray):
+        cap_arr = cap_arr.combine_chunks()
+    n = len(cap_arr)
+    valid = pc.is_valid(cap_arr).to_numpy(zero_copy_only=False)
+    off_dtype = np.int64 if pa.types.is_large_string(cap_arr.type) else np.int32
+    offs = np.frombuffer(cap_arr.buffers()[1], dtype=off_dtype)[
+        cap_arr.offset : cap_arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = cap_arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    lens = np.where(valid, np.diff(offs), 0)
+    short = valid & (lens <= budget)
+    long_ = valid & ~short
+
+    g_counts = np.zeros(n, dtype=np.int64)  # total unique grams per long row
+    g_k_counts = np.zeros(n, dtype=np.int64)  # emitted bottom-k widths
+    g_vals: list[np.ndarray] = []  # bottom-k values, row order
+    li = np.flatnonzero(long_)
+    CHUNK = 4 << 20
+    s = 0
+    while s < len(li):
+        e = s
+        tot = 0
+        while e < len(li) and (e == s or tot + lens[li[e]] <= CHUNK):
+            tot += int(lens[li[e]])
+            e += 1
+        rows = li[s:e]
+        cat = np.concatenate([data[offs[r] : offs[r + 1]] for r in rows])
+        seg_starts = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(lens[rows], out=seg_starts[1:])
+        grams = sx._rolling_hashes_arr(cat.astype(np.uint64) + np.uint64(1), ngram)
+        pos = np.arange(len(grams), dtype=np.int64)
+        seg = np.searchsorted(seg_starts, pos, side="right") - 1
+        ok = pos + ngram <= seg_starts[seg + 1]  # window inside its segment
+        gs, sg = grams[ok], seg[ok]
+        order = np.lexsort((gs, sg))
+        gs, sg = gs[order], sg[order]
+        uq = np.ones(len(gs), dtype=bool)
+        uq[1:] = (sg[1:] != sg[:-1]) | (gs[1:] != gs[:-1])
+        gs_u, sg_u = gs[uq], sg[uq]
+        seg_first = np.ones(len(gs_u), dtype=bool)
+        seg_first[1:] = sg_u[1:] != sg_u[:-1]
+        first_idx = np.flatnonzero(seg_first)
+        rank = np.arange(len(gs_u), dtype=np.int64) - np.repeat(
+            first_idx, np.diff(np.append(first_idx, len(gs_u)))
+        )
+        g_counts[rows] = np.bincount(sg_u, minlength=len(rows))
+        keepk = rank < k
+        g_vals.append(gs_u[keepk])  # sg ascending == row order within chunk
+        g_k_counts[rows] = np.bincount(sg_u[keepk], minlength=len(rows))
+        s = e
+
+    nw = (lens + 7) // 8
+    wc = np.zeros(n, dtype=np.int64)
+    wc[short] = nw[short] + 1
+    wc[long_] = g_k_counts[long_] + 1
+    word_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(wc, out=word_offsets[1:])
+    values = np.zeros(int(word_offsets[-1]), dtype=np.uint64)
+    hdr = word_offsets[:-1]
+    values[hdr[short]] = lens[short].astype(np.uint64)
+    values[hdr[long_]] = np.uint64(1 << 63) | g_counts[long_].astype(np.uint64)
+
+    si = np.flatnonzero(short)
+    if len(si):
+        pb_lens = nw[si] * 8
+        pb_starts = np.concatenate([[0], np.cumsum(pb_lens)[:-1]])
+        padded = np.zeros(int(pb_lens.sum()), dtype=np.uint8)
+        padded[_ranges_to_indices(pb_starts, lens[si])] = data[
+            _ranges_to_indices(offs[si], lens[si])
+        ]
+        values[_ranges_to_indices(word_offsets[si] + 1, nw[si])] = padded.view(
+            np.uint64
+        )
+    if g_vals:
+        values[_ranges_to_indices(word_offsets[li] + 1, g_k_counts[li])] = (
+            np.concatenate(g_vals)
+        )
+    sk = pa.ListArray.from_arrays(
+        pa.array(word_offsets.astype(np.int32), pa.int32()),
+        pa.array(values, pa.uint64()),
+    )
+    if not valid.all():
+        sk = pc.if_else(pa.array(~valid), pa.nulls(n, sk.type), sk)
+    return sk
+
+
 def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
     """MinHash signatures + band keys for captions. Runs as a task-pool
     ``map_batches`` stage: the permutation matrix is lru-cached per worker
@@ -203,36 +323,14 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
             # byte-packed verbatim (exact verification downstream); longer
             # captions carry a KMV bottom-k gram-hash sketch. Header word:
             # byte length (packed) or 2^63 | total-unique-grams (sketch).
-            k = cfg["sketch_k"]
-            budget = k * 8
-            parts: list[np.ndarray] = []
-            offsets = np.zeros(n + 1, dtype=np.int32)
-            null_mask = np.zeros(n, dtype=bool)
-            for i, c in enumerate(caps):
-                if c is None:
-                    null_mask[i] = True
-                    offsets[i + 1] = offsets[i]
-                    continue
-                raw = c.encode("utf8")
-                if len(raw) <= budget:
-                    nw = (len(raw) + 7) // 8
-                    w = np.empty(nw + 1, dtype=np.uint64)
-                    w[0] = len(raw)
-                    w[1:] = np.frombuffer(raw.ljust(nw * 8, b"\0"), dtype=np.uint64)
-                else:
-                    g = np.unique(sx.rolling_gram_hashes(raw, ngram))
-                    w = np.empty(min(len(g), k) + 1, dtype=np.uint64)
-                    w[0] = np.uint64(1 << 63) | np.uint64(len(g))
-                    w[1:] = g[:k]
-                parts.append(w)
-                offsets[i + 1] = offsets[i] + len(w)
-            values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-            sk = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()),
-                pa.array(values, pa.uint64()),
+            # Packing is batch-level (_pack_caption_sketches) — no per-row
+            # python in this hottest map of the caption critical path.
+            cap_col = batch["caption"]
+            if isinstance(cap_col, pa.ChunkedArray):
+                cap_col = cap_col.combine_chunks()
+            sk = _pack_caption_sketches(
+                cap_col.take(pa.array(keep, pa.int64())), ngram, cfg["sketch_k"]
             )
-            if null_mask.any():
-                sk = pc.if_else(pa.array(null_mask), pa.nulls(n, sk.type), sk)
             cols["csk"] = sk.take(pa.array(np.repeat(np.arange(n), b), pa.int64()))
         else:
             # exact-verify mode: the full caption travels with its band rows

@@ -113,3 +113,86 @@ def test_flagship_psnr_pack_is_chunked(ray_session, tmp_path):
     assert img_stage["psnr_pack_chunks"] > 1
     # 16 candidates/chunk x 32x32x3 B — ragged partitioning slack allowed
     assert img_stage["psnr_pack_max_bytes"] <= 3 * 16 * 32 * 32 * 3
+
+
+# ---------------------------------------------------------------------------
+# vectorized caption sketch packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_reference(caps, ngram, k):
+    """The former per-caption packing loop, kept verbatim as the parity
+    reference for the batch-level implementation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from liken_ray.kernels import suffix as sx
+
+    budget = k * 8
+    n = len(caps)
+    parts, offsets, null_mask = [], np.zeros(n + 1, dtype=np.int32), np.zeros(n, dtype=bool)
+    for i, c in enumerate(caps):
+        if c is None:
+            null_mask[i] = True
+            offsets[i + 1] = offsets[i]
+            continue
+        raw = c.encode("utf8")
+        if len(raw) <= budget:
+            nw = (len(raw) + 7) // 8
+            w = np.empty(nw + 1, dtype=np.uint64)
+            w[0] = len(raw)
+            w[1:] = np.frombuffer(raw.ljust(nw * 8, b"\0"), dtype=np.uint64)
+        else:
+            g = np.unique(sx.rolling_gram_hashes(raw, ngram))
+            w = np.empty(min(len(g), k) + 1, dtype=np.uint64)
+            w[0] = np.uint64(1 << 63) | np.uint64(len(g))
+            w[1:] = g[:k]
+        parts.append(w)
+        offsets[i + 1] = offsets[i] + len(w)
+    values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    sk = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(values, pa.uint64()))
+    if null_mask.any():
+        sk = pc.if_else(pa.array(null_mask), pa.nulls(n, sk.type), sk)
+    return sk
+
+
+@pytest.mark.parametrize("k", [8, 64])
+def test_sketch_packing_vectorized_parity(k):
+    import random
+
+    import pyarrow as pa
+
+    from liken_ray.pipelines.flagship import _pack_caption_sketches
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "δοκιμή", "試験", "naïve", "x"]
+    caps = [
+        "",
+        None,
+        "short one",
+        "exactly-eight!!!"[: k * 8],
+        "a" * (k * 8),          # exactly at budget -> packed verbatim
+        "b" * (k * 8 + 1),      # one past budget -> sketched
+        " ".join(rng.choice(words) for _ in range(400)),  # long unicode
+        None,
+        "ünïcödé çhärs " * 200,
+    ] + [" ".join(rng.choice(words) for _ in range(rng.randint(0, 300))) for _ in range(40)]
+    arr = pa.array(caps, pa.string())
+    got = _pack_caption_sketches(arr, ngram=3, k=k)
+    want = _pack_reference(caps, ngram=3, k=k)
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_sketch_packing_sliced_array_offsets():
+    """A sliced arrow array (nonzero .offset) must pack identically —
+    the buffer arithmetic honours the slice."""
+    import pyarrow as pa
+
+    from liken_ray.pipelines.flagship import _pack_caption_sketches
+
+    caps = ["drop me", "keep one", None, "keep two", "k" * 600]
+    arr = pa.array(caps, pa.string()).slice(1)
+    got = _pack_caption_sketches(arr, ngram=3, k=8)
+    want = _pack_reference(caps[1:], ngram=3, k=8)
+    assert got.to_pylist() == want.to_pylist()

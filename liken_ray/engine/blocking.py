@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from functools import lru_cache
 from typing import Any, Callable
 
 import numpy as np
@@ -50,6 +51,14 @@ def _run_boundaries(keys: list[np.ndarray], n: int) -> np.ndarray:
     for k in keys:
         change[1:] |= k[1:] != k[:-1]
     return change
+
+
+@lru_cache(maxsize=256)
+def _triu_cached(ln: int):
+    """All-pairs index template for run length ln (<= pair_cap, so the
+    cache is tiny); np.triu_indices re-built a boolean matrix per run."""
+    iu, ju = np.triu_indices(ln, 1)
+    return iu.astype(np.int64), ju.astype(np.int64)
 
 
 def _emit_pairs(sr: np.ndarray, starts, lens, cap: int, chain: bool = False):
@@ -88,7 +97,7 @@ def _emit_pairs(sr: np.ndarray, starts, lens, cap: int, chain: bool = False):
             s = int(starts[ri])
             ln = int(lens[ri])
             if ln <= cap:
-                iu, ju = np.triu_indices(ln, 1)
+                iu, ju = _triu_cached(ln)
                 src_parts.append(iu + s)
                 dst_parts.append(ju + s)
             else:

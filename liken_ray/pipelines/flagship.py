@@ -371,15 +371,118 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
     return mask
 
 
-# process-global memo tables for the sketch kernel: long-lived Ray workers
-# see the same captions/pairs across many blocks and bands of one run.
-# Keys are scoped — (ngram, payload bytes) for gram sets (content-addressed,
-# safe across runs), (run_token, rid, rid) for pair decisions (rids are only
-# stable within a run) — and both tables are size-capped.
-_GRAM_SETS: dict = {}
-_GRAM_SETS_MAX = 200_000
+# process-global memos for the sketch kernel: long-lived Ray workers see
+# the same candidate pair in every band it collides in (up to b times,
+# scattered across blocks) and the same ROW against different partners in
+# different bands. Pair decisions and per-row gram entries are memoized
+# keyed by (run_token, rid...) — rids are only stable within a run — and
+# both tables are size-capped.
 _PAIR_DECISIONS: dict = {}
 _PAIR_DECISIONS_MAX = 4_000_000
+_ROW_ENTRIES: dict = {}
+_ROW_ENTRIES_MAX = 200_000
+
+
+def _sketch_entries(col, idxs: np.ndarray, ngram: int, rid_col=None, run_token=""):
+    """Verify metadata for the sketch payload column over the involved
+    positions, built in ONE vectorized pass (the former per-pair lazy
+    reconstruction paid a python ``rolling_gram_hashes`` call — with its
+    errstate/powers setup — per candidate ROW, which dominated the whole
+    caption stage).
+
+    Returns ``(kind, cnt, grams)``: per-position arrays where kind is
+    0 = byte-packed/exact, 1 = bottom-k sketch, 2 = null (uninvolved
+    positions are 3 and must not be read); cnt is the total unique gram
+    count; and ``grams`` maps position → sorted unique gram-hash array.
+    Byte-packed payloads are gathered into one concatenated byte buffer,
+    hashed with a single segmented rolling-hash call (cross-boundary
+    windows masked), and uniqued per segment via one lexsort; sketched
+    payloads are zero-copy views."""
+    n = len(col)
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    HIGH = np.uint64(1 << 63)
+
+    kind = np.full(n, 3, dtype=np.int8)
+    cnt = np.zeros(n, dtype=np.int64)
+    grams: dict[int, np.ndarray] = {}
+    # cross-block row memo: the same row reaches many buckets (one per
+    # band), so its gram set is built once per worker per run
+    memo = _ROW_ENTRIES if rid_col is not None else None
+    if memo is not None and len(idxs):
+        missing = []
+        for p in idxs.tolist():
+            ent = memo.get((run_token, int(rid_col[p])))
+            if ent is None:
+                missing.append(p)
+            else:
+                kind[p], cnt[p], g = ent
+                if g is not None:
+                    grams[p] = g
+        idxs = np.asarray(missing, dtype=np.int64)
+        if not len(idxs):
+            return kind, cnt, grams
+    def _store():
+        if memo is None:
+            return
+        if len(memo) > _ROW_ENTRIES_MAX:
+            memo.clear()
+        for p in idxs.tolist():
+            memo[(run_token, int(rid_col[p]))] = (
+                int(kind[p]),
+                int(cnt[p]),
+                grams.get(p),
+            )
+
+    kind[idxs[~valid[idxs]]] = 2
+    live = idxs[valid[idxs]]
+    if not len(live):
+        _store()
+        return kind, cnt, grams
+    heads = vals[off[live]]
+    is_long = (heads & HIGH) != 0
+    longs = live[is_long]
+    kind[longs] = 1
+    cnt[longs] = (heads[is_long] & ~HIGH).astype(np.int64)
+    for p in longs.tolist():
+        grams[p] = vals[off[p] + 1 : off[p + 1]]  # bottom-k, sorted unique
+
+    shorts = live[~is_long]
+    kind[shorts] = 0
+    if not len(shorts):
+        _store()
+        return kind, cnt, grams
+    blens = heads[~is_long].astype(np.int64)
+    word_starts = off[shorts] + 1
+    word_lens = off[shorts + 1] - word_starts
+    packed = vals[_ranges_to_indices(word_starts, word_lens)]
+    raw = packed.view(np.uint8)  # contiguous gather copy — safe to view
+    byte_starts = np.concatenate([[0], np.cumsum(word_lens * 8)[:-1]])
+    content = raw[_ranges_to_indices(byte_starts, blens)]
+    seg_starts = np.zeros(len(shorts) + 1, dtype=np.int64)
+    np.cumsum(blens, out=seg_starts[1:])
+    ghash = sx._rolling_hashes_arr(content.astype(np.uint64) + np.uint64(1), ngram)
+    if len(ghash):
+        gpos = np.arange(len(ghash), dtype=np.int64)
+        seg = np.searchsorted(seg_starts, gpos, side="right") - 1
+        ok = gpos + ngram <= seg_starts[seg + 1]
+        gs, sg = ghash[ok], seg[ok]
+        order = np.lexsort((gs, sg))
+        gs, sg = gs[order], sg[order]
+        uq = np.ones(len(gs), dtype=bool)
+        uq[1:] = (sg[1:] != sg[:-1]) | (gs[1:] != gs[:-1])
+        gs_u, sg_u = gs[uq], sg[uq]
+        counts = np.bincount(sg_u, minlength=len(shorts))
+        parts = np.split(gs_u, np.cumsum(counts)[:-1])
+    else:
+        counts = np.zeros(len(shorts), dtype=np.int64)
+        parts = [np.empty(0, dtype=np.uint64)] * len(shorts)
+    cnt[shorts] = counts
+    for p, g in zip(shorts.tolist(), parts):
+        grams[p] = g
+    _store()
+    return kind, cnt, grams
 
 
 def caption_sketch_verify_kernel(
@@ -401,79 +504,79 @@ def caption_sketch_verify_kernel(
     Returns (accept_mask, borderline_mask).
 
     A candidate pair recurs in every band it collides in (up to b times,
-    scattered across blocks), and the same caption recurs in every bucket
-    its rows reach — so pair DECISIONS and gram SETS are memoized
-    process-globally (workers are long-lived across blocks), keyed by row
-    id pair / content hash. Identical payloads short-circuit to J=1."""
+    scattered across blocks) — pair DECISIONS are memoized process-globally
+    (workers are long-lived across blocks), keyed by row-id pair. Gram sets
+    for every involved row are reconstructed UP FRONT in one vectorized
+    pass (``_sketch_entries``) — per-pair lazy reconstruction paid a python
+    rolling-hash call per row and dominated the caption stage."""
     col = batch["csk"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    sketches = col.to_pylist()
     if RID in batch.column_names:
         rid_col = batch[RID].to_numpy(zero_copy_only=False)
         decided = _PAIR_DECISIONS
     else:  # driver cross-block summary table: positions are already unique
         rid_col = np.arange(batch.num_rows, dtype=np.int64)
         decided = {}
-    # pos -> (is_exact, sorted gram hashes, total unique grams, words) | None
-    cache: dict[int, tuple | None] = {}
-    HIGH = np.uint64(1 << 63)
+    P = len(sp)
+    accept = np.zeros(P, dtype=bool)
+    borderline = np.zeros(P, dtype=bool)
+    if P == 0:
+        return accept, borderline
 
-    def s_of(pos: int):
-        rid = int(rid_col[pos])
-        ent = cache.get(rid, False)
-        if ent is not False:
-            return ent
-        v = sketches[pos]
-        if v is None:
-            cache[rid] = None
-            return None
-        w = np.asarray(v, dtype=np.uint64)
-        wb = w.tobytes()
-        head = w[0]
-        if head & HIGH:  # truncated bottom-k sketch of a long caption
-            ent = (False, w[1:], int(head & ~HIGH), wb)
-        else:  # byte-packed caption — reconstruct exact gram set (memoized
-            # by content across blocks/bands within this worker)
-            gkey = (ngram, wb)
-            g = _GRAM_SETS.get(gkey)
-            if g is None:
-                raw = w[1:].tobytes()[: int(head)]
-                g = np.unique(sx.rolling_gram_hashes(raw, ngram))
-                if len(_GRAM_SETS) > _GRAM_SETS_MAX:
-                    _GRAM_SETS.clear()
-                _GRAM_SETS[gkey] = g
-            ent = (True, g, len(g), wb)
-        cache[rid] = ent
-        return ent
-
-    accept = np.zeros(len(sp), dtype=bool)
-    borderline = np.zeros(len(sp), dtype=bool)
+    # 1) pair-decision memo first: a pair recurs in up to b bands, and a
+    # memo hit skips that pair's gram reconstruction entirely
+    keys: list[tuple] = []
+    miss_idx: list[int] = []
     for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
         ra, rb = int(rid_col[a]), int(rid_col[b])
         key = (run_token, ra, rb) if ra < rb else (run_token, rb, ra)
         prev = decided.get(key)
         if prev is not None:
             accept[i], borderline[i] = prev
-            continue
-        ea, eb = s_of(a), s_of(b)
-        if ea is None or eb is None:
-            accept[i] = ea is None and eb is None and cluster_nulls
-            decided[key] = (bool(accept[i]), False)
-            continue
-        exact_a, ga, na, wa = ea
-        exact_b, gb, nb, wb_ = eb
-        if wa == wb_:  # identical payload → J = 1
-            accept[i] = tmin < 1.0
-        elif not na and not nb:
-            accept[i] = True
-        elif exact_a and exact_b:
+        else:
+            keys.append(key)
+            miss_idx.append(i)
+    if not miss_idx:
+        return accept, borderline
+    miss = np.asarray(miss_idx, dtype=np.int64)
+    msp, mdp = sp[miss], dp[miss]
+
+    # 2) gram entries only for rows of unmemoized pairs (rid-memoized
+    # across blocks — a row reaches one bucket per band)
+    kind, cnt, grams = _sketch_entries(
+        col,
+        np.unique(np.concatenate([msp, mdp])),
+        ngram,
+        rid_col=rid_col if decided is _PAIR_DECISIONS else None,
+        run_token=run_token,
+    )
+
+    # 3) vectorized decisions — most candidate pairs never reach python:
+    # null pairs, both-empty-gram pairs, and the exact set-size bound
+    # J <= min/max <= tmin (valid for exact AND sketched rows: inter <= min,
+    # union >= max, so the rejection is identical to the per-pair branch)
+    macc = np.zeros(len(miss), dtype=bool)
+    mbrd = np.zeros(len(miss), dtype=bool)
+    anull, bnull = kind[msp] == 2, kind[mdp] == 2
+    has_null = anull | bnull
+    if has_null.any():
+        macc[has_null] = cluster_nulls & (anull & bnull)[has_null]
+    na, nb = cnt[msp], cnt[mdp]
+    both_empty = ~has_null & (na == 0) & (nb == 0)
+    macc[both_empty] = True
+    mn = np.minimum(na, nb)
+    mx = np.maximum(na, nb)
+    undecided = ~has_null & ~both_empty & (mn > tmin * mx)
+
+    # 4) python loop only over pairs the bound could not decide
+    for j in np.flatnonzero(undecided).tolist():
+        a, b = int(msp[j]), int(mdp[j])
+        ga, gb = grams[a], grams[b]
+        if kind[a] == 0 and kind[b] == 0:
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            union = na + nb - inter
-            accept[i] = bool(union) and inter / union > tmin
-        # exact upper bound from set sizes: J <= min/max
-        elif min(na, nb) <= tmin * max(na, nb):
-            pass  # reject — cannot reach the threshold
+            union = int(na[j]) + int(nb[j]) - inter
+            macc[j] = bool(union) and inter / union > tmin
         else:
             union = np.union1d(ga, gb)
             kk = min(k, len(union))
@@ -481,12 +584,18 @@ def caption_sketch_verify_kernel(
             inter = np.intersect1d(ga, gb, assume_unique=True)
             est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
             if est > tmin + eps:
-                accept[i] = True
+                macc[j] = True
             elif est > tmin - eps:
-                borderline[i] = True
-        if len(decided) > _PAIR_DECISIONS_MAX:
-            decided.clear()
-        decided[key] = (bool(accept[i]), bool(borderline[i]))
+                mbrd[j] = True
+
+    # 5) memo-write every miss decision (incl. vector-decided ones: a later
+    # band hit then skips the pair AND its rows' gram reconstruction)
+    if len(decided) > _PAIR_DECISIONS_MAX:
+        decided.clear()
+    for key, av, bv in zip(keys, macc.tolist(), mbrd.tolist()):
+        decided[key] = (av, bv)
+    accept[miss] = macc
+    borderline[miss] = mbrd
     return accept, borderline
 
 

@@ -377,13 +377,14 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
 # different bands. Pair decisions and per-row gram entries are memoized
 # keyed by (run_token, rid...) — rids are only stable within a run — and
 # both tables are size-capped.
+# (A per-ROW gram-set memo was tried and REVERTED: at 1M rows x 32 workers
+# the dict churn + cap-clear thrash cost ~2x the whole caption stage;
+# rebuilding gram sets vectorized per block is cheaper than caching them.)
 _PAIR_DECISIONS: dict = {}
 _PAIR_DECISIONS_MAX = 4_000_000
-_ROW_ENTRIES: dict = {}
-_ROW_ENTRIES_MAX = 200_000
 
 
-def _sketch_entries(col, idxs: np.ndarray, ngram: int, rid_col=None, run_token=""):
+def _sketch_entries(col, idxs: np.ndarray, ngram: int):
     """Verify metadata for the sketch payload column over the involved
     positions, built in ONE vectorized pass (the former per-pair lazy
     reconstruction paid a python ``rolling_gram_hashes`` call — with its
@@ -407,38 +408,9 @@ def _sketch_entries(col, idxs: np.ndarray, ngram: int, rid_col=None, run_token="
     kind = np.full(n, 3, dtype=np.int8)
     cnt = np.zeros(n, dtype=np.int64)
     grams: dict[int, np.ndarray] = {}
-    # cross-block row memo: the same row reaches many buckets (one per
-    # band), so its gram set is built once per worker per run
-    memo = _ROW_ENTRIES if rid_col is not None else None
-    if memo is not None and len(idxs):
-        missing = []
-        for p in idxs.tolist():
-            ent = memo.get((run_token, int(rid_col[p])))
-            if ent is None:
-                missing.append(p)
-            else:
-                kind[p], cnt[p], g = ent
-                if g is not None:
-                    grams[p] = g
-        idxs = np.asarray(missing, dtype=np.int64)
-        if not len(idxs):
-            return kind, cnt, grams
-    def _store():
-        if memo is None:
-            return
-        if len(memo) > _ROW_ENTRIES_MAX:
-            memo.clear()
-        for p in idxs.tolist():
-            memo[(run_token, int(rid_col[p]))] = (
-                int(kind[p]),
-                int(cnt[p]),
-                grams.get(p),
-            )
-
     kind[idxs[~valid[idxs]]] = 2
     live = idxs[valid[idxs]]
     if not len(live):
-        _store()
         return kind, cnt, grams
     heads = vals[off[live]]
     is_long = (heads & HIGH) != 0
@@ -451,7 +423,6 @@ def _sketch_entries(col, idxs: np.ndarray, ngram: int, rid_col=None, run_token="
     shorts = live[~is_long]
     kind[shorts] = 0
     if not len(shorts):
-        _store()
         return kind, cnt, grams
     blens = heads[~is_long].astype(np.int64)
     word_starts = off[shorts] + 1
@@ -481,7 +452,6 @@ def _sketch_entries(col, idxs: np.ndarray, ngram: int, rid_col=None, run_token="
     cnt[shorts] = counts
     for p, g in zip(shorts.tolist(), parts):
         grams[p] = g
-    _store()
     return kind, cnt, grams
 
 
@@ -542,14 +512,9 @@ def caption_sketch_verify_kernel(
     miss = np.asarray(miss_idx, dtype=np.int64)
     msp, mdp = sp[miss], dp[miss]
 
-    # 2) gram entries only for rows of unmemoized pairs (rid-memoized
-    # across blocks — a row reaches one bucket per band)
+    # 2) gram entries only for rows of unmemoized pairs
     kind, cnt, grams = _sketch_entries(
-        col,
-        np.unique(np.concatenate([msp, mdp])),
-        ngram,
-        rid_col=rid_col if decided is _PAIR_DECISIONS else None,
-        run_token=run_token,
+        col, np.unique(np.concatenate([msp, mdp])), ngram
     )
 
     # 3) vectorized decisions — most candidate pairs never reach python:

@@ -5,10 +5,11 @@ input_hint pattern: ``bytes, w, h, fmt``). Heavy decode / feature work runs
 in actor-pool ``map_batches`` stages — setup (decoder tables, model
 weights) once per actor, small ``batch_size`` because rows are megabytes.
 
-The compressed-format decoders themselves are STUBS in this sandbox (no
-PIL/ffmpeg): ``fmt="raw"`` is fully implemented; other formats raise
-``NotImplementedError`` unless a decoder is registered via
-``liken_ray.kernels.phash.register_decoder``. The Ray-side plumbing —
+Image decode is REAL for ``fmt="raw"``, ``"png"`` and ``"jpeg"`` (pure
+stdlib codecs, ``kernels/png.py`` / ``kernels/jpeg.py``); other formats
+raise ``NotImplementedError`` unless a decoder is registered via
+``liken_ray.kernels.phash.register_decoder`` (video stays a stub — no
+ffmpeg in this sandbox). The Ray-side plumbing —
 schemas, actor signatures, batch sizing, output layout — is real and
 tested with raw payloads.
 """

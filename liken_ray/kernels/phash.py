@@ -6,10 +6,11 @@ hash), SimHash-style band keys over the hash bits for blocking, Hamming
 verification and PSNR. All numpy; the DCT is a cached basis-matrix matmul
 (no scipy).
 
-Decoding: ``fmt="raw"`` = w*h*3 interleaved uint8 RGB; ``fmt="png"`` is a
-REAL decode via the pure-stdlib codec in ``kernels/png.py`` (zlib inflate
-+ numpy unfilter — lazily registered). Formats needing an external image
-library (jpeg) raise ``NotImplementedError`` through the pluggable decoder
+Decoding: ``fmt="raw"`` = w*h*3 interleaved uint8 RGB; ``fmt="png"`` and
+``fmt="jpeg"`` are REAL decodes via the pure-stdlib codecs in
+``kernels/png.py`` (zlib inflate + numpy unfilter) and ``kernels/jpeg.py``
+(baseline T.81 Huffman + vectorized IDCT) — both lazily registered.
+Anything else raises ``NotImplementedError`` through the pluggable decoder
 registry so the Ray-side plumbing stays format-agnostic.
 """
 
@@ -50,6 +51,11 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
             import liken_ray.kernels.png  # noqa: F401
 
             return DECODERS["png"](data, w, h)
+        if fmt == "jpeg":
+            # pure-stdlib baseline T.81 codec — registers itself on import
+            import liken_ray.kernels.jpeg  # noqa: F401
+
+            return DECODERS["jpeg"](data, w, h)
         raise NotImplementedError(
             f"no decoder for fmt={fmt!r} in this environment; register one via "
             "liken_ray.kernels.phash.register_decoder (e.g. a PIL-backed "

@@ -17,8 +17,8 @@ loop per row — fine for the thumbnail sizes this pipeline decodes, and
 our own encoder defaults to filter 0 so round-trips stay vectorized.
 
 Not supported (raise ``ValueError``): 16-bit depth, palette (type 3),
-gray+alpha (type 4), interlacing. JPEG stays a registry stub — there is
-no stdlib inflate equivalent for DCT entropy coding.
+gray+alpha (type 4), interlacing. JPEG has its own baseline codec since
+round 4 — see ``kernels/jpeg.py``.
 """
 
 from __future__ import annotations

@@ -45,10 +45,11 @@ def test_decode_raw_roundtrip_and_unknown_fmt():
     img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
     out = ph.decode_image(img.tobytes(), 6, 4, "raw")
     assert np.array_equal(out, img)
-    # png is a REAL stdlib-codec path since round 3 (see tests/test_png.py);
-    # formats with no stdlib decoder still raise through the registry
+    # png (round 3) and jpeg (round 4) are REAL stdlib-codec paths — see
+    # tests/test_png.py / tests/test_jpeg.py; formats with no stdlib
+    # decoder still raise through the registry
     with pytest.raises(NotImplementedError):
-        ph.decode_image(b"\xff\xd8\xff...", 6, 4, "jpeg")
+        ph.decode_image(b"\xff\xd8\xff...", 6, 4, "webp")
 
 
 def test_suffix_array_matches_naive():

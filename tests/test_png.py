@@ -85,8 +85,10 @@ def test_decode_image_registry_integration():
     img = _rand_img(rng, 8, 8)
     out = decode_image(encode_png(img), 8, 8, "png")
     np.testing.assert_array_equal(out, img)
+    # jpeg is a REAL codec path since round 4 (tests/test_jpeg.py); formats
+    # with no stdlib decoder still raise through the registry
     with pytest.raises(NotImplementedError):
-        decode_image(b"x", 1, 1, "jpeg")
+        decode_image(b"x", 1, 1, "webp")
 
 
 def test_synth_png_corpus_phash_consistent():

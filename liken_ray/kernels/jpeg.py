@@ -16,8 +16,8 @@ Scope (the subset a thumbnail/near-dup pipeline needs):
   uint8 RGB (grayscale replicated). Progressive (SOF2), arithmetic
   coding, 12-bit and hierarchical modes raise ``ValueError`` loudly.
 - encode: ``(h, w, 3)`` uint8 RGB or ``(h, w)`` uint8 gray → baseline
-  JFIF with IJG-style quality scaling of the Annex K tables, 4:4:4 or
-  4:2:0 chroma subsampling, optional restart interval. The encoder
+  JFIF with IJG-style quality scaling of the Annex K tables, 4:4:4 /
+  4:2:2 / 4:2:0 chroma subsampling, optional restart interval. The encoder
   exists so tests and synthetic corpora can produce fixtures offline —
   there is no Pillow in this environment to make "real" jpegs with.
 
@@ -278,8 +278,10 @@ def encode_jpeg(
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError(f"expected (h,w,3) or (h,w) array, got {arr.shape}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be '444' or '420', got {subsample!r}")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError(
+            f"subsample must be '444', '422' or '420', got {subsample!r}"
+        )
     h, w = arr.shape[:2]
     if not h or not w:
         raise ValueError("empty image")
@@ -301,6 +303,13 @@ def encode_jpeg(
             cb = cb2.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
             cr = cr2.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
             comps = [(y, ql, 2, 2, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+        elif subsample == "422":  # chroma halved horizontally only
+            cb2 = _pad_to(cb, 2)
+            cr2 = _pad_to(cr, 2)
+            hh, ww = cb2.shape
+            cb = cb2.reshape(hh, ww // 2, 2).mean(axis=2)
+            cr = cr2.reshape(hh, ww // 2, 2).mean(axis=2)
+            comps = [(y, ql, 2, 1, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
         else:
             comps = [(y, ql, 1, 1, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
 

@@ -52,6 +52,14 @@ def test_roundtrip_420_smooth():
     assert psnr(img, dec) >= 30  # chroma is half-resolution by design
 
 
+def test_roundtrip_422_smooth():
+    """4:2:2 exercises the decoder's asymmetric (2,1) sampling path."""
+    img = _smooth(64, 48)
+    dec = decode_jpeg(encode_jpeg(img, quality=90, subsample="422"))
+    assert dec.shape == (48, 64, 3)
+    assert psnr(img, dec) >= 30
+
+
 def test_roundtrip_gray():
     g = np.outer(np.linspace(0, 255, 33), np.ones(29)).astype(np.uint8)
     dec = decode_jpeg(encode_jpeg(g, quality=92))
@@ -76,7 +84,7 @@ def test_quality_100_noise_roundtrip_above_psnr_bar():
 
 
 @pytest.mark.parametrize("w,h", [(1, 1), (7, 5), (13, 9), (17, 31), (8, 8)])
-@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("subsample", ["444", "422", "420"])
 def test_odd_dimensions(w, h, subsample):
     rng = np.random.default_rng(w * 100 + h)
     img = _rand(rng, w, h)
@@ -181,7 +189,7 @@ def test_bad_pixels_rejected_on_encode():
     with pytest.raises(ValueError, match="uint8"):
         encode_jpeg(np.zeros((8, 8, 3), np.float32))
     with pytest.raises(ValueError, match="subsample"):
-        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample="422")
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample="411")
     with pytest.raises(ValueError, match="empty"):
         encode_jpeg(np.zeros((0, 8, 3), np.uint8))
 

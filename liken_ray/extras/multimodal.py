@@ -6,12 +6,13 @@ in actor-pool ``map_batches`` stages — setup (decoder tables, model
 weights) once per actor, small ``batch_size`` because rows are megabytes.
 
 Image decode is REAL for ``fmt="raw"``, ``"png"`` and ``"jpeg"`` (pure
-stdlib codecs, ``kernels/png.py`` / ``kernels/jpeg.py``); other formats
-raise ``NotImplementedError`` unless a decoder is registered via
-``liken_ray.kernels.phash.register_decoder`` (video stays a stub — no
-ffmpeg in this sandbox). The Ray-side plumbing —
+stdlib codecs, ``kernels/png.py`` / ``kernels/jpeg.py``); audio decode is
+REAL for PCM ``"wav"`` (stdlib ``wave`` + numpy, ``kernels/wav.py``).
+Other image formats raise ``NotImplementedError`` unless a decoder is
+registered via ``liken_ray.kernels.phash.register_decoder``; video stays
+a loud stub (no ffmpeg in this sandbox). The Ray-side plumbing —
 schemas, actor signatures, batch sizing, output layout — is real and
-tested with raw payloads.
+tested.
 """
 
 from __future__ import annotations
@@ -90,6 +91,58 @@ class ImageResizeStage:
         )
 
 
+class AudioFeatureStage:
+    """Actor-pool stage: PCM WAV decode → scalar features. Schema contract:
+    in = (audio_id, bytes, fmt="wav"); out = (audio_id, sample_rate,
+    duration_s, rms, peak, zero_crossing_rate, spectral_centroid_hz).
+    Decode is REAL (stdlib ``wave`` + numpy, ``kernels/wav.py``); non-wav
+    formats raise loudly."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        from liken_ray.kernels import wav
+
+        self.bytes_col = bytes_col
+        self._wav = wav  # import once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["fmt"].to_pylist() if "fmt" in batch.column_names else ["wav"] * n
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "sample_rate",
+                "duration_s",
+                "rms",
+                "peak",
+                "zero_crossing_rate",
+                "spectral_centroid_hz",
+            )
+        }
+        for i in range(n):
+            if fmts[i] != "wav":
+                raise NotImplementedError(
+                    f"no audio decoder for fmt={fmts[i]!r} (only PCM 'wav' in "
+                    "this environment)"
+                )
+            samples, rate = self._wav.decode_wav(batch[self.bytes_col][i].as_py())
+            f = self._wav.audio_features(samples, rate)
+            cols["sample_rate"].append(rate)
+            for k in cols:
+                if k != "sample_rate":
+                    cols[k].append(f[k])
+        return pa.table(
+            {
+                "audio_id": batch["audio_id"],
+                "sample_rate": pa.array(cols["sample_rate"], pa.int32()),
+                **{
+                    k: pa.array(cols[k], pa.float64())
+                    for k in cols
+                    if k != "sample_rate"
+                },
+            }
+        )
+
+
 def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
     """Video frame-sampling stage signature (STUB: video decode needs
     ffmpeg, absent here). Raises so pipelines fail loudly, not silently."""
@@ -106,6 +159,16 @@ def image_features(ds, concurrency: Any = (1, 8), batch_size: int = 64):
     batch size (binary payload rows are large)."""
     return ds.map_batches(
         ImageFeatureStage,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def audio_feature_extract(ds, concurrency: Any = (1, 8), batch_size: int = 64):
+    """Dataset-level helper: WAV decode + features as an actor pool."""
+    return ds.map_batches(
+        AudioFeatureStage,
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

@@ -196,3 +196,43 @@ def test_sketch_packing_sliced_array_offsets():
     got = _pack_caption_sketches(arr, ngram=3, k=8)
     want = _pack_reference(caps[1:], ngram=3, k=8)
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_assign_dataset_scope_megacluster_many_blocks(ray_session):
+    """A single cluster spanning MANY blocks in the pass-2 sort stresses
+    the O(blocks) rep continuation map (`rep_map`): every block but the
+    first lacks the cluster's rep row and must resolve `cluster_image_id`
+    from the boundary summaries. Also covers the pass-1 case of label
+    runs straddling block gaps."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from liken_ray.pipelines.flagship import _assign_dataset_scope
+
+    n = 400
+    rids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": rids,
+                "image_id": pa.array([f"img_{i}" for i in range(n)]),
+            }
+        )
+    ).repartition(16)
+    # one mega-cluster: rids 0..299 all labelled 0; 300..399 singletons
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(300, dtype=np.int64)),
+                "label": pa.array(np.zeros(300, dtype=np.int64)),
+            }
+        )
+    ).repartition(8)
+    out = _assign_dataset_scope(ds, labels).take_all()
+    assert len(out) == n
+    got = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in out}
+    for i in range(300):
+        assert got[f"img_{i}"] == (0, "img_0"), i
+    for i in range(300, n):
+        assert got[f"img_{i}"] == (i, f"img_{i}"), i

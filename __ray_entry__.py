@@ -565,6 +565,35 @@ def _orders_per_customer(sf_dir: str):
     )
 
 
+def _hash_split_documents(sf_dir: str):
+    from liken_ray.extras.curation import hash_split
+
+    return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _holdout_filter(batch: pa.Table, keep_holdout: bool) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = (ids % 20) == 0
+    return batch.filter(pa.array(m if keep_holdout else ~m))
+
+
+def _decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: docs sharing any whitespace-token 3-gram
+    with the holdout slice (doc_id % 20 == 0) are flagged. Holdout gram
+    hashes broadcast once; membership is searchsorted per batch."""
+    from liken_ray.extras.curation import contamination_index, decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    holdout = docs.map_batches(
+        lambda b: _holdout_filter(b, True), batch_format="pyarrow"
+    )
+    train = docs.map_batches(
+        lambda b: _holdout_filter(b, False), batch_format="pyarrow"
+    )
+    idx = contamination_index(holdout, n=3)
+    return decontaminate(train, idx, n=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -599,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _sessionize_events,
         "events_by_type": _events_by_type,
         "orders_per_customer": _orders_per_customer,
+        "hash_split_documents": _hash_split_documents,
+        "decontaminate_documents": _decontaminate_documents,
     }
 
 
@@ -698,6 +729,51 @@ _ANN_TOPK_SQL = (
     "SELECT query_id, neighbor_id FROM s "
     "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
     "ORDER BY sim DESC, neighbor_id ASC) <= 10"
+)
+
+
+def _hash_split_sql() -> str:
+    """DuckDB replica of ``extras.curation.hash_split`` (splitmix64 mod
+    2^64 via UHUGEINT, bucket thresholds from the same
+    ``split_thresholds`` call — no drift)."""
+    from liken_ray.extras.curation import _GOLDEN, _MIX1, _MIX2, split_thresholds
+
+    th = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    m = 1 << 64
+    case = (
+        "CASE "
+        + " ".join(f"WHEN bucket < {b} THEN '{n}'" for n, b in th[:-1])
+        + f" ELSE '{th[-1][0]}' END AS split"
+    )
+    return (
+        "WITH z0 AS (SELECT doc_id, CAST((CAST(doc_id AS UHUGEINT) + "
+        f"{_GOLDEN}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS a FROM documents), "
+        "z1 AS (SELECT doc_id, CAST((CAST(xor(a, a >> 30) AS UHUGEINT) * "
+        f"{_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS b FROM z0), "
+        "z2 AS (SELECT doc_id, CAST((CAST(xor(b, b >> 27) AS UHUGEINT) * "
+        f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1), "
+        "h AS (SELECT doc_id, xor(c, c >> 31) % 10000 AS bucket FROM z2) "
+        f"SELECT doc_id, {case} FROM h"
+    )
+
+
+# whitespace-token 3-gram decontamination vs the doc_id % 20 == 0 holdout
+# slice; gram semantics mirror extras.curation.gram_hashes (trim + \s+ ->
+# ' ' normalization, single-space joins). The SQL compares gram STRINGS,
+# so the engine's hash path is checked against exact-match semantics.
+_DECONTAMINATE_SQL = (
+    "WITH norm AS (SELECT doc_id, string_split(regexp_replace("
+    "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+    "'\\s+', ' ', 'g'), ' ') AS toks FROM documents WHERE text IS NOT NULL), "
+    "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram "
+    "FROM norm WHERE len(toks) >= 3 AND toks[1] <> ''), "
+    "hold AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0), "
+    "hits AS (SELECT g.doc_id, COUNT(*) AS nh FROM grams g "
+    "JOIN hold h USING (gram) WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id) "
+    "SELECT d.doc_id, COALESCE(h.nh, 0) > 0 AS contaminated, "
+    "COALESCE(h.nh, 0) AS n_hits FROM documents d "
+    "LEFT JOIN hits h ON d.doc_id = h.doc_id WHERE d.doc_id % 20 <> 0"
 )
 
 
@@ -842,4 +918,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_per_customer": (
             "SELECT o_custkey, COUNT(*) AS order_cnt FROM orders GROUP BY o_custkey"
         ),
+        "hash_split_documents": _hash_split_sql(),
+        "decontaminate_documents": _DECONTAMINATE_SQL,
     }

@@ -7,6 +7,10 @@
 - ``topk_cosine_ivf``: IVF-style scale path — corpus bucketed by nearest
   of ``n_cells`` sampled centroid vectors (one ``groupby``), queries probe
   only their ``n_probe`` nearest cells.
+- ``kmeans_fit``: distributed spherical k-means (Lloyd) for centroid
+  refinement — each iteration is one streaming pass emitting per-block
+  partial sums (sort + ``reduceat``); the driver reduces O(blocks x k x
+  dim). Plugs into both IVF entry points via ``refine_iters``.
 """
 
 from __future__ import annotations
@@ -110,17 +114,19 @@ def topk_cosine_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    refine_iters: int = 0,
 ) -> pa.Table:
     """IVF-bucketed approximate top-k: centroids from a seeded sample of the
-    corpus; each query scans only its ``n_probe`` nearest cells."""
-    sample = ds.random_sample(min(1.0, (n_cells * 20) / max(1, ds.count())), seed=seed)
-    sample_vecs = np.array(
-        [r[vec_col] for r in sample.take(n_cells * 20)], dtype=np.float64
-    )
-    if len(sample_vecs) < n_cells:
+    corpus (optionally Lloyd-refined with ``refine_iters`` spherical
+    k-means passes, see ``kmeans_fit``); each query scans only its
+    ``n_probe`` nearest cells."""
+    centroids = _init_centroids(ds, n_cells, vec_col, seed)
+    if centroids is None:
         return topk_cosine_bruteforce(ds, queries, query_ids, k, vec_col, id_col)
-    rng = np.random.default_rng(seed)
-    centroids = _normalize(sample_vecs[rng.choice(len(sample_vecs), n_cells, replace=False)])
+    if refine_iters > 0:
+        centroids, _ = kmeans_fit(
+            ds, n_cells, vec_col, iters=refine_iters, seed=seed, init=centroids
+        )
     c_ref = ray.put(centroids)
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
@@ -142,6 +148,114 @@ def topk_cosine_ivf(
     return topk_cosine_bruteforce(probed, queries, query_ids, k, vec_col, id_col)
 
 
+def _init_centroids(
+    ds, n_cells: int, vec_col: str, seed: int, sample_factor: int = 20
+) -> np.ndarray | None:
+    """Seeded-sample centroid init shared by every IVF entry point.
+    Returns None when the corpus is too small to fill ``n_cells``."""
+    sample = ds.random_sample(
+        min(1.0, (n_cells * sample_factor) / max(1, ds.count())), seed=seed
+    )
+    sample_vecs = np.array(
+        [r[vec_col] for r in sample.take(n_cells * sample_factor)],
+        dtype=np.float64,
+    )
+    if len(sample_vecs) < n_cells:
+        return None
+    rng = np.random.default_rng(seed)
+    return _normalize(sample_vecs[rng.choice(len(sample_vecs), n_cells, replace=False)])
+
+
+def kmeans_fit(
+    ds,
+    n_cells: int,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 11,
+    tol: float = 1e-4,
+    init: np.ndarray | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Distributed spherical k-means over an embedding column.
+
+    Lloyd iterations as streaming passes: centroids broadcast once per
+    round (``ray.put``), every block emits per-cell partial sums/counts/
+    similarity (sort + ``reduceat``, no python loop), the driver reduces
+    O(blocks x k x dim) partials into k new centroids — the dataset is
+    never materialized and nothing shuffles. Assignments maximize cosine
+    similarity (vectors and centroids unit-normalized), so the objective
+    (mean member-to-centroid cosine) is monotone non-decreasing; empty
+    cells keep their previous centroid (deterministic).
+
+    Returns ``(centroids, info)`` with ``info["objective_history"]`` one
+    mean-similarity entry per completed iteration.
+    """
+    centroids = init if init is not None else _init_centroids(ds, n_cells, vec_col, seed)
+    if centroids is None:
+        raise ValueError(f"corpus too small to fit {n_cells} cells")
+    dim = centroids.shape[1]
+    history: list[float] = []
+
+    def partials_fn(c_ref):
+        def partials(batch: pa.Table) -> pa.Table:
+            cents = ray.get(c_ref)
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            if vecs.size == 0:
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            nv = _normalize(vecs)
+            sims = nv @ cents.T
+            cells = np.argmax(sims, axis=1).astype(np.int64)
+            best = sims[np.arange(len(cells)), cells]
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            csum = np.zeros(len(sc) + 1)
+            np.cumsum(best[order], out=csum[1:])
+            ends = np.r_[starts[1:], len(sc)]
+            return pa.table(
+                {
+                    "cell": pa.array(sc[starts], pa.int64()),
+                    "cnt": pa.array(ends - starts, pa.int64()),
+                    "sim": pa.array(csum[ends] - csum[starts], pa.float64()),
+                    "vsum": pa.array(
+                        list(np.add.reduceat(nv[order], starts, axis=0)),
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        return partials
+
+    info: dict = {"n_cells": n_cells, "iters_run": 0, "converged": False}
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells, dtype=np.int64)
+        sim_total = 0.0
+        for r in ds.map_batches(partials_fn(c_ref), batch_format="pyarrow").take_all():
+            c = r["cell"]
+            counts[c] += r["cnt"]
+            sums[c] += np.asarray(r["vsum"])
+            sim_total += r["sim"]
+        n_total = int(counts.sum())
+        history.append(sim_total / max(n_total, 1))
+        info["iters_run"] += 1
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = _normalize(sums[nonempty])
+        if len(history) >= 2 and history[-1] - history[-2] <= tol:
+            info["converged"] = True
+            break
+    info["objective_history"] = history
+    return centroids, info
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF index: probe-time IO pruning, not just compute pruning
 # ---------------------------------------------------------------------------
@@ -154,12 +268,15 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    refine_iters: int = 0,
 ) -> dict:
     """Materialize a real inverted-file index: the corpus is written as
     cell-partitioned parquet (``out_dir/cell=<i>/``) plus a centroids
     sidecar. Unlike ``topk_cosine_ivf`` (which filters *compute* but still
     scans every block), a query against the persisted index READS only its
     probed cells — IO pruning, the property that matters at 100 TB.
+    ``refine_iters`` > 0 Lloyd-refines the sampled centroids first
+    (``kmeans_fit``) for tighter, better-balanced cells.
 
     One shuffle (repartition by cell via groupby-free partitioned write);
     returns {"dir", "n_cells", "dim"}.
@@ -167,18 +284,13 @@ def build_ivf_index(
     import json
     import os
 
-    sample = ds.random_sample(min(1.0, (n_cells * 20) / max(1, ds.count())), seed=seed)
-    sample_vecs = np.array(
-        [r[vec_col] for r in sample.take(n_cells * 20)], dtype=np.float64
-    )
-    if len(sample_vecs) < n_cells:
-        raise ValueError(
-            f"corpus too small to build {n_cells} cells (sampled {len(sample_vecs)})"
+    centroids = _init_centroids(ds, n_cells, vec_col, seed)
+    if centroids is None:
+        raise ValueError(f"corpus too small to build {n_cells} cells")
+    if refine_iters > 0:
+        centroids, _ = kmeans_fit(
+            ds, n_cells, vec_col, iters=refine_iters, seed=seed, init=centroids
         )
-    rng = np.random.default_rng(seed)
-    centroids = _normalize(
-        sample_vecs[rng.choice(len(sample_vecs), n_cells, replace=False)]
-    )
     c_ref = ray.put(centroids)
 
     def assign_cell(batch: pa.Table) -> pa.Table:

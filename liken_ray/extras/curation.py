@@ -1,0 +1,259 @@
+"""Training-data curation operators: deterministic dataset splits and
+holdout decontamination.
+
+- ``hash_split``: assign every row to a named split (train/val/test/...)
+  by an avalanche hash of its id — deterministic, order-independent,
+  cluster-size-independent (no shuffle, no sampling state), so the same
+  row lands in the same split on every machine and every rerun. The hash
+  is splitmix64 (public-domain finalizer, Steele et al. 2014), replicated
+  verbatim in DuckDB SQL by ``__ray_entry__`` for the oracle gate.
+- ``contamination_index`` / ``decontaminate``: flag (or drop) documents
+  that share any whitespace-token n-gram with a holdout corpus — the
+  benchmark-decontamination step of large LM data pipelines (the GPT-3
+  appendix-C / Llama style n-gram overlap rule). The holdout side is the
+  SMALL side: its distinct gram hashes are collected once and broadcast
+  (``ray.put``), membership is a vectorized ``searchsorted`` per batch —
+  no shuffle touches the big table.
+
+No reference analogue (VictorAut/liken has no split/decontamination
+surface); these serve the BASELINE.json training-pipeline axis.
+
+Gram hashing is a windowed polynomial hash over the whitespace-normalized
+byte buffer: per-row prefix sums of ``(byte+1) * BASE^pos`` wrap mod 2^64,
+a window ``[s, e)`` hashes to ``(P[e] - P[s]) * BASE^-s`` (BASE is odd so
+its inverse exists mod 2^64), then a 2-step multiply/xor avalanche. Two
+n-grams collide with probability ~2^-64; the DuckDB oracle compares gram
+STRINGS, so the hash path is checked end-to-end against exact semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from liken_ray.extras.text import _WS_RE
+
+_BASE = np.uint64(0x100000001B3)  # shared with the stopword/fingerprint kernels
+_BASE_INV = np.uint64(pow(int(_BASE), -1, 1 << 64))
+_GOLDEN = 0x9E3779B97F4A7C15
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+
+_POW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 in, uint64 out."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(_GOLDEN)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(_MIX1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX2)
+        return z ^ (z >> np.uint64(31))
+
+
+def split_thresholds(
+    weights: dict[str, float], buckets: int = 10_000
+) -> list[tuple[str, int]]:
+    """``{"train": .9, "val": .05, "test": .05}`` → cumulative integer
+    bucket thresholds ``[("train", 9000), ("val", 9500), ("test", 10000)]``.
+    Integer arithmetic so the Ray kernel and the SQL replica share EXACT
+    boundaries."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum to a positive value, got {total}")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for split {name!r}: {w}")
+        acc += w / total
+        out.append((name, min(buckets, round(acc * buckets))))
+    out[-1] = (out[-1][0], buckets)  # float-sum safety: last split absorbs
+    return out
+
+
+def hash_split(
+    ds,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    buckets: int = 10_000,
+):
+    """Add a ``split`` column chosen by ``splitmix64(id + salt) % buckets``
+    against the cumulative thresholds of ``weights``. One streaming
+    ``map_batches`` — no shuffle, no state; re-salting yields an
+    independent re-split."""
+    thresholds = split_thresholds(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    names = [n for n, _ in thresholds]
+    bounds = np.array([b for _, b in thresholds], dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids.view(np.uint64) + np.uint64(salt))
+        bucket = (h % np.uint64(buckets)).astype(np.int64)
+        idx = np.searchsorted(bounds, bucket, side="right")
+        split = pa.DictionaryArray.from_arrays(
+            pa.array(idx, pa.int32()), pa.array(names, pa.string())
+        ).cast(pa.string())
+        return batch.append_column("split", split)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _normalize_texts(texts: list) -> list[bytes]:
+    return [
+        b"" if t is None else _WS_RE.sub(" ", t.strip()).encode("utf8")
+        for t in texts
+    ]
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(BASE^i, BASE^-i) for i in [0, n] — cached, grown geometrically."""
+    key = 1 << max(int(n).bit_length(), 10)
+    if key not in _POW_CACHE:
+        with np.errstate(over="ignore"):
+            fwd = np.ones(key + 1, dtype=np.uint64)
+            inv = np.ones(key + 1, dtype=np.uint64)
+            np.multiply.accumulate(np.full(key, _BASE), out=fwd[1:])
+            np.multiply.accumulate(np.full(key, _BASE_INV), out=inv[1:])
+        _POW_CACHE[key] = (fwd, inv)
+    return _POW_CACHE[key]
+
+
+def gram_hashes(
+    texts: list, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-token ``n``-gram hashes for every row, fully vectorized
+    after normalization. Returns ``(hashes, row_offsets)``: row ``r``'s
+    grams are ``hashes[row_offsets[r]:row_offsets[r+1]]``. Rows with fewer
+    than ``n`` tokens (incl. null/empty) contribute zero grams.
+
+    A gram IS a substring of the normalized text (tokens joined by single
+    spaces), so gram hashes are windowed polynomial hashes over one
+    concatenated byte buffer — no per-gram Python."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    nrows = len(texts)
+    encs = _normalize_texts(texts)
+    lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=nrows)
+    offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    row_off = np.zeros(nrows + 1, dtype=np.int64)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), row_off
+
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
+    space = np.flatnonzero(buf == 0x20)
+    space_row = np.searchsorted(offsets[1:], space, side="right")
+    # token starts/ends per row, in global byte coordinates. Normalized
+    # rows have single spaces and no edge spaces, so starts = row start +
+    # each space+1; ends = each space + row end.
+    starts_all = np.sort(np.concatenate([offsets[:-1][lens > 0], space + 1]))
+    ends_all = np.sort(np.concatenate([space, offsets[1:][lens > 0]]))
+    tok_counts = np.bincount(space_row, minlength=nrows) + (lens > 0)
+    tok_off = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(tok_counts, out=tok_off[1:])
+
+    gram_counts = np.maximum(tok_counts - (n - 1), 0) * (tok_counts >= n)
+    np.cumsum(gram_counts, out=row_off[1:])
+    ngrams = int(row_off[-1])
+    if ngrams == 0:
+        return np.empty(0, dtype=np.uint64), row_off
+
+    # per-row-position weighted prefix sums (the fingerprint kernel's
+    # pattern), then window extraction at token boundaries
+    fwd, inv = _powers(int(lens.max()))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    with np.errstate(over="ignore"):
+        weighted = (buf.astype(np.uint64) + np.uint64(1)) * fwd[pos]
+        prefix = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(weighted, out=prefix[1:])
+
+        row_rep = np.repeat(np.arange(nrows), gram_counts)
+        within = np.arange(ngrams, dtype=np.int64) - np.repeat(
+            row_off[:-1], gram_counts
+        )
+        s_idx = tok_off[row_rep] + within
+        s = starts_all[s_idx]
+        e = ends_all[s_idx + (n - 1)]
+        h = (prefix[e] - prefix[s]) * inv[s - offsets[:-1][row_rep]]
+        # avalanche so short grams spread over the full 64-bit space
+        h = h * np.uint64(_MIX1)
+        h ^= h >> np.uint64(31)
+        h = h * np.uint64(_MIX2)
+        h ^= h >> np.uint64(29)
+    return h, row_off
+
+
+def contamination_index(holdout_ds, text_col: str = "text", n: int = 3):
+    """Distinct n-gram hashes of the holdout corpus as a broadcast-ready
+    sorted uint64 array: per-block distinct sets stream back as small
+    arrays; the driver unions them once. The holdout (benchmark/test
+    suite) is the small side by construction — this is the broadcast
+    semi-join pattern, not a shuffle."""
+
+    def block_grams(batch: pa.Table) -> pa.Table:
+        h, _ = gram_hashes(batch[text_col].to_pylist(), n)
+        return pa.table({"g": np.unique(h)})
+
+    parts = holdout_ds.map_batches(block_grams, batch_format="pyarrow").take_all()
+    if parts:
+        grams = np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
+    else:
+        grams = np.empty(0, dtype=np.uint64)
+    return ray.put(grams)
+
+
+def decontaminate(
+    ds,
+    index_ref,
+    text_col: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+    mode: str = "flag",
+):
+    """Check every document's n-grams against a ``contamination_index``.
+
+    ``mode="flag"`` emits ``(id_col, contaminated, n_hits)``;
+    ``mode="drop"`` returns the input rows with contaminated ones removed
+    (the pipeline form). One streaming pass; the index is fetched from the
+    object store once per task."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+
+    def check(batch: pa.Table) -> pa.Table:
+        grams = ray.get(index_ref)
+        h, row_off = gram_hashes(batch[text_col].to_pylist(), n)
+        if len(h) and len(grams):
+            pos = np.searchsorted(grams, h)
+            pos[pos == len(grams)] = 0
+            hit = grams[pos] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        hits_per_row = _seg_counts(hit, row_off)
+        if mode == "drop":
+            return batch.filter(pa.array(hits_per_row == 0))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "contaminated": pa.array(hits_per_row > 0),
+                "n_hits": pa.array(hits_per_row, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def _seg_counts(hit: np.ndarray, row_off: np.ndarray) -> np.ndarray:
+    """Per-row hit counts from a flat hit mask + row offsets (handles
+    empty segments, which ``reduceat`` cannot)."""
+    csum = np.zeros(len(hit) + 1, dtype=np.int64)
+    np.cumsum(hit, out=csum[1:])
+    return csum[row_off[1:]] - csum[row_off[:-1]]

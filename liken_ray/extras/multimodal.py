@@ -7,12 +7,13 @@ weights) once per actor, small ``batch_size`` because rows are megabytes.
 
 Image decode is REAL for ``fmt="raw"``, ``"png"`` and ``"jpeg"`` (pure
 stdlib codecs, ``kernels/png.py`` / ``kernels/jpeg.py``); audio decode is
-REAL for PCM ``"wav"`` (stdlib ``wave`` + numpy, ``kernels/wav.py``).
-Other image formats raise ``NotImplementedError`` unless a decoder is
-registered via ``liken_ray.kernels.phash.register_decoder``; video stays
-a loud stub (no ffmpeg in this sandbox). The Ray-side plumbing —
-schemas, actor signatures, batch sizing, output layout — is real and
-tested.
+REAL for PCM ``"wav"`` (stdlib ``wave`` + numpy, ``kernels/wav.py``);
+video decode is REAL for MJPG ``"avi"`` (stdlib RIFF walker feeding the
+jpeg codec, ``kernels/avi.py``). Other formats raise
+``NotImplementedError`` unless a decoder is registered via
+``liken_ray.kernels.phash.register_decoder`` (images) — there is no
+ffmpeg in this sandbox. The Ray-side plumbing — schemas, actor
+signatures, batch sizing, output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -143,15 +144,66 @@ class AudioFeatureStage:
         )
 
 
-def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
-    """Video frame-sampling stage signature (STUB: video decode needs
-    ffmpeg, absent here). Raises so pipelines fail loudly, not silently."""
-    del every_n
-    raise NotImplementedError(
-        "video frame sampling requires an ffmpeg-backed decoder; register "
-        "one and replace this stub (schema contract: in = (video_id, bytes, "
-        "fmt), out = (video_id, frame_idx, bytes, w, h, fmt='raw'))"
-    )
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample every ``every_n``-th frame of an MJPG AVI
+    and emit decoded frames as raw RGB rows. Schema contract: in =
+    (video_id, bytes, fmt); out = (video_id, frame_idx, bytes, w, h,
+    fmt='raw') — one output row per sampled frame, directly consumable by
+    ``ImageFeatureStage``/``ImageResizeStage`` after renaming video_id.
+
+    Decode is REAL for ``fmt="avi"`` (stdlib RIFF walker +
+    ``kernels/jpeg.py`` per-frame decode, ``kernels/avi.py``); skipped
+    frames are never entropy-decoded — sampling happens at the container
+    layer, the property that matters when the payload column is hours of
+    video. Other container formats raise loudly (no ffmpeg here)."""
+
+    def __init__(
+        self,
+        every_n: int = 30,
+        max_frames: int | None = None,
+        bytes_col: str = "bytes",
+    ):
+        from liken_ray.kernels import avi
+
+        if every_n < 1:
+            raise ValueError(f"every_n must be >= 1, got {every_n}")
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.bytes_col = bytes_col
+        self._avi = avi  # import once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["fmt"].to_pylist() if "fmt" in batch.column_names else ["avi"] * n
+        vids, idxs, frames, ws, hs = [], [], [], [], []
+        for i in range(n):
+            if fmts[i] != "avi":
+                raise NotImplementedError(
+                    f"no video decoder for fmt={fmts[i]!r} (only MJPG 'avi' "
+                    "in this environment; an ffmpeg-backed decoder would "
+                    "slot in here)"
+                )
+            vid = batch["video_id"][i].as_py()
+            for frame_idx, arr in self._avi.decode_avi_frames(
+                batch[self.bytes_col][i].as_py(),
+                every_n=self.every_n,
+                limit=self.max_frames,
+            ):
+                vids.append(vid)
+                idxs.append(frame_idx)
+                frames.append(arr.tobytes())
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+        return pa.table(
+            {
+                "video_id": pa.array(vids, batch["video_id"].type),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "bytes": pa.array(frames, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["raw"] * len(vids), pa.string()),
+            }
+        )
 
 
 def image_features(ds, concurrency: Any = (1, 8), batch_size: int = 64):
@@ -169,6 +221,25 @@ def audio_feature_extract(ds, concurrency: Any = (1, 8), batch_size: int = 64):
     """Dataset-level helper: WAV decode + features as an actor pool."""
     return ds.map_batches(
         AudioFeatureStage,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def video_frame_sample(
+    ds,
+    every_n: int = 30,
+    max_frames: int | None = None,
+    concurrency: Any = (1, 8),
+    batch_size: int = 8,
+):
+    """Dataset-level helper: container-layer frame sampling as an actor
+    pool. ``batch_size`` defaults tiny — a video row is typically tens of
+    MB, and the stage fans out (rows multiply by frames sampled)."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"every_n": every_n, "max_frames": max_frames},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

@@ -1,0 +1,158 @@
+"""Curation operators: deterministic hash split + n-gram decontamination.
+
+The oracle parity of `hash_split_documents` / `decontaminate_documents`
+is covered by test_entry_contract's derived sweep; these tests pin kernel
+semantics and the Ray plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from liken_ray.extras.curation import (
+    contamination_index,
+    decontaminate,
+    gram_hashes,
+    hash_split,
+    split_thresholds,
+    splitmix64,
+)
+
+
+def test_splitmix64_matches_scalar_reference():
+    def ref(x: int) -> int:
+        m = (1 << 64) - 1
+        z = (x + 0x9E3779B97F4A7C15) & m
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return z ^ (z >> 31)
+
+    xs = np.array([0, 1, 2, 12345, 2**63, 2**64 - 1], dtype=np.uint64)
+    assert [int(v) for v in splitmix64(xs)] == [ref(int(v)) for v in xs]
+
+
+def test_split_thresholds_integer_boundaries():
+    assert split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05}) == [
+        ("train", 9000),
+        ("val", 9500),
+        ("test", 10000),
+    ]
+    # un-normalized weights normalize; last split absorbs rounding
+    assert split_thresholds({"a": 2, "b": 1, "c": 1}) == [
+        ("a", 5000),
+        ("b", 7500),
+        ("c", 10000),
+    ]
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": -1.0, "b": 2.0})
+
+
+def test_gram_hashes_position_and_row_independence():
+    texts = [
+        "the quick brown fox",
+        "slow  the quick brown cat",  # double space normalizes away
+        None,
+        "",
+        "a b",  # fewer than n tokens
+        "the quick brown fox jumps",
+    ]
+    h, off = gram_hashes(texts, 3)
+    rows = [h[off[i] : off[i + 1]] for i in range(len(texts))]
+    assert [len(r) for r in rows] == [2, 3, 0, 0, 0, 3]
+    assert rows[0][0] == rows[1][1]  # "the quick brown" at different offsets
+    assert rows[0][1] == rows[5][1]  # "quick brown fox" across rows
+    assert rows[1][2] != rows[0][1]  # "quick brown cat" != "quick brown fox"
+
+    # batch-composition independence: same row alone or with neighbors
+    h_solo, _ = gram_hashes([texts[0]], 3)
+    assert list(h_solo) == list(rows[0])
+
+
+def test_gram_hashes_no_spurious_collisions():
+    big = [" ".join(f"w{i + j}" for j in range(50)) for i in range(200)]
+    h, _ = gram_hashes(big, 3)
+    want = set()
+    for t in big:
+        tk = t.split()
+        want.update(" ".join(tk[i : i + 3]) for i in range(len(tk) - 2))
+    assert len(np.unique(h)) == len(want)
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import ray.data
+
+    n = 20_000
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    ).repartition(4)
+    out = hash_split(ds).take_all()
+    by_split: dict[str, int] = {}
+    seen: dict[int, str] = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+        seen[r["doc_id"]] = r["split"]
+    assert len(seen) == n
+    # proportions near the weights (hash uniformity at n=20k: ±2% absolute)
+    assert abs(by_split["train"] / n - 0.90) < 0.02
+    assert abs(by_split["val"] / n - 0.05) < 0.01
+    assert abs(by_split["test"] / n - 0.05) < 0.01
+
+    # deterministic across runs and partitionings
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ds.repartition(7)).take_all()
+    }
+    assert again == seen
+
+    # re-salting yields a different (but deterministic) assignment
+    resalt = {r["doc_id"]: r["split"] for r in hash_split(ds, salt=99).take_all()}
+    assert resalt != seen
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    import ray.data
+
+    holdout = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "the secret benchmark answer is forty two"},
+            {"doc_id": 1, "text": "unrelated holdout content here"},
+        ]
+    )
+    train = ray.data.from_items(
+        [
+            # shares "secret benchmark answer" and more
+            {"doc_id": 10, "text": "leaked: the secret benchmark answer is hidden"},
+            {"doc_id": 11, "text": "completely clean document about cooking pasta"},
+            {"doc_id": 12, "text": None},
+            {"doc_id": 13, "text": "unrelated holdout content appears again"},
+            {"doc_id": 14, "text": "ab"},
+        ]
+    ).repartition(2)
+    idx = contamination_index(holdout, n=3)
+    got = {r["doc_id"]: (r["contaminated"], r["n_hits"]) for r in decontaminate(train, idx, n=3).take_all()}
+    assert got[10][0] and got[10][1] >= 3  # "the secret benchmark", "secret benchmark answer", "benchmark answer is"
+    assert got[11] == (False, 0)
+    assert got[12] == (False, 0)
+    assert got[13] == (True, 1)  # only "unrelated holdout content" overlaps
+    assert got[14] == (False, 0)
+
+
+def test_decontaminate_drop_mode(ray_session):
+    import ray.data
+
+    holdout = ray.data.from_items([{"doc_id": 0, "text": "x y z"}])
+    train = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b x y z c"},
+            {"doc_id": 2, "text": "a b c d"},
+        ]
+    )
+    idx = contamination_index(holdout, n=3)
+    kept = decontaminate(train, idx, n=3, mode="drop").take_all()
+    assert [r["doc_id"] for r in kept] == [2]
+    with pytest.raises(ValueError):
+        decontaminate(train, idx, mode="purge")

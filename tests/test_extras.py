@@ -131,7 +131,11 @@ def test_embedding_cosine_dedup(ray_session):
 def test_multimodal_feature_and_resize_stages(ray_session):
     import ray.data
 
-    from liken_ray.extras.multimodal import frame_sample_stub, image_features, image_resize
+    from liken_ray.extras.multimodal import (
+        VideoFrameSampleStage,
+        image_features,
+        image_resize,
+    )
     from liken_ray.io.synth import generate_pairs_table
 
     pairs, _ = generate_pairs_table(50, seed=9)
@@ -146,8 +150,12 @@ def test_multimodal_feature_and_resize_stages(ray_session):
     small = image_resize(ds, size=8, concurrency=2, batch_size=16).take_all()
     assert all(r["w"] == 8 and r["h"] == 8 and len(r["bytes"]) == 8 * 8 * 3 for r in small)
 
+    # video stage raises loudly for container formats without a decoder
+    vids = pa.table(
+        {"video_id": [1], "bytes": [b"\x00" * 16], "fmt": ["mp4"]}
+    )
     with pytest.raises(NotImplementedError):
-        frame_sample_stub(pairs.slice(0, 1))
+        VideoFrameSampleStage(every_n=2)(vids)
 
 
 def test_ivf_persisted_index_reads_only_probed_cells(ray_session, tmp_path):

@@ -133,6 +133,16 @@ class Dedupe:
             self._collection.apply(_exact_factory())
         dedupers = self._collection.get()
 
+        # ``id`` given at construction (``lk.dedupe(ds, id="rid")``) is the
+        # default for every terminal verb; an ``id=`` on the verb itself
+        # (reference surface: ``canonicalize(id=...)``) wins. Without the
+        # merge the two collide into a duplicate-kwarg TypeError.
+        engine_kwargs = dict(self._engine_kwargs)
+        if id is None:
+            id = engine_kwargs.pop("id", None)
+        else:
+            engine_kwargs.pop("id", None)
+
         if self._is_ray:
             from liken_ray.engine.executor import execute_plan_ray
 
@@ -145,7 +155,7 @@ class Dedupe:
                 drop_canonical_id=drop_canonical_id,
                 id=id,
                 scope=self._scope,
-                **self._engine_kwargs,
+                **engine_kwargs,
             )
         else:
             table, kind = _to_arrow(self._df)

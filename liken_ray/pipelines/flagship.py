@@ -67,6 +67,17 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # k*8 bytes fall back to the bottom-k sketch + borderline confirm
     "sketch_k": 256,
     "sketch_eps": 0.10,  # ≈3σ at k=256, t=0.5: the exact-confirm band
+    # verify scope. "bucket" (default): pairs are verified inside their
+    # band bucket, payload travels with every band row (xb duplication;
+    # a pair colliding in c bands is verified up to c times, softened by
+    # the per-worker pair memo). "pair": band rows carry NO payload; raw
+    # candidate pairs are globally deduped first and each DISTINCT pair is
+    # verified exactly once against sketch payloads fetched from
+    # range-packed objects (the _psnr_confirm_dataset pattern) — the
+    # scale-out choice when bands x payload dominates the shuffle; the
+    # extra cost is one (src,dst) pair-dedupe sort.
+    "caption_verify_scope": "bucket",
+    "sketch_pack_rows": 16384,
     "null_captions": "skip",  # "skip" | "cluster" (reference "na" semantics)
     # image path. Recall contract (pigeonhole): band blocking GUARANTEES a
     # collision only for pairs with Hamming <= phash_bands - 1, so
@@ -646,8 +657,252 @@ def _confirm_borderline(ds, cfg, stats, exclude=None):
     )
 
 
+def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
+    """Caption edges with ``caption_verify_scope='pair'``: each DISTINCT
+    candidate pair is verified exactly once.
+
+    1. band keys shuffle WITHOUT payload (rid/band/key only — the sort
+       moves ~20 B per band row instead of payload x b);
+    2. raw candidate pairs are globally deduplicated (one (src,dst) sort —
+       a pair colliding in c of b bands collapses from c verifications to
+       one);
+    3. sketch payloads are built ONCE per distinct endpoint rid and
+       range-packed into object-store chunks (the ``_psnr_confirm_dataset``
+       pattern: bounded object size, tasks fetch only touched ranges);
+    4. a verify map over the distinct-pair Dataset reuses
+       ``caption_sketch_verify_kernel`` (memo-free path), emitting accepted
+       rows and a small borderline stream for the exact-confirm pass.
+
+    Only meaningful for ``verify_payload='sketch'`` (exact mode would pack
+    unbounded captions); the caller routes accordingly."""
+    import functools
+
+    from ray.data.block import BlockAccessor
+
+    from liken_ray.engine.blocking import bucket_edges_dataset, dedupe_edges_dataset
+
+    bcfg = dict(cfg)
+    bcfg["caption_verify"] = False  # band keys only, no payload column
+    banded = ds.map_batches(
+        caption_band_stage,
+        fn_kwargs={"cfg": bcfg},
+        batch_format="pyarrow",
+        batch_size=cfg["batch_size"],
+    )
+    cand_ds = bucket_edges_dataset(
+        banded,
+        ["band", "key"],
+        RID,
+        pair_cap=cfg["bucket_pair_cap"],
+        dedupe=False,
+        materialize_before_sort=cfg.get("stage_barriers", True),
+    )
+    cand_ds = dedupe_edges_dataset(cand_ds).materialize()
+    n_cand = cand_ds.count()
+
+    def _finish(edges_ds, borderline_pairs, confirmed):
+        ckpt.record(
+            "caption_edges",
+            verified_edges=edges_ds.count(),
+            payload="sketch",
+            verify_scope="pair",
+            candidate_pairs=n_cand,
+            borderline_pairs=borderline_pairs,
+            borderline_confirmed=confirmed,
+            payload_row_bytes=0,  # band rows carry no payload in pair scope
+            summary_truncated=0,
+            scope=cfg["edges_scope"],
+        )
+        if cfg["edges_scope"] == "dataset":
+            return edges_ds
+        out: list[tuple[int, int]] = []
+        for b in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            out.extend(
+                zip(
+                    b["src"].to_numpy(zero_copy_only=False).tolist(),
+                    b["dst"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+        return out
+
+    endpoints = _distinct_endpoints(cand_ds)
+    if not len(endpoints):
+        empty = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        return _finish(empty, 0, 0)
+
+    # --- pack sketch payloads for candidate endpoints only ---------------
+    want_ref = ray.put(endpoints)
+    ngram, k = cfg["ngram"], cfg["sketch_k"]
+
+    def sketch_rows(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
+        want = ray.get(want_ref)
+        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = sorted_membership_mask(rid, want)
+        if not m.any():
+            return pa.table(
+                {"rid_": pa.array([], pa.int64()),
+                 "csk": pa.array([], pa.list_(pa.uint64()))}
+            )
+        caps = batch["caption"].filter(pa.array(m))
+        if isinstance(caps, pa.ChunkedArray):
+            caps = caps.combine_chunks()
+        return pa.table({"rid_": rid[m], "csk": _pack_caption_sketches(caps, ngram, k)})
+
+    n_chunks = max(1, -(-len(endpoints) // int(cfg.get("sketch_pack_rows", 16384))))
+    sk_sorted = (
+        ds.map_batches(sketch_rows, batch_format="pyarrow")
+        .repartition(n_chunks)
+        .sort("rid_")
+        .materialize()
+    )
+
+    @ray.remote(num_returns=2)
+    def _pack(block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        rid = t["rid_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(rid)
+        rid = rid[o]
+        col = t["csk"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)[o]
+        starts, lens = off[:-1][o], (off[1:] - off[:-1])[o]
+        buf = vals[_ranges_to_indices(starts, lens)] if len(o) else np.empty(0, np.uint64)
+        offs = np.zeros(len(o) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        meta = (int(rid[0]), int(rid[-1]), int(offs[-1]) * 8) if len(rid) else None
+        return meta, (rid, offs, buf, valid)
+
+    payload_refs: list = []
+    metas: list = []
+    for bundle in sk_sorted.iter_internal_ref_bundles():
+        for ref, bmeta in zip(bundle.block_refs, bundle.metadata):
+            if bmeta.num_rows == 0:
+                continue
+            m_ref, p_ref = _pack.remote(ref)
+            metas.append(m_ref)
+            payload_refs.append(p_ref)
+    metas = [m for m in ray.get(metas) if m is not None]
+    ckpt_stats = {
+        "sketch_pack_chunks": len(payload_refs),
+        "sketch_pack_max_bytes": max((m[2] for m in metas), default=0),
+    }
+    lo = np.array([m[0] for m in metas], dtype=np.int64)
+    hi = np.array([m[1] for m in metas], dtype=np.int64)
+    bounds_ref = ray.put((lo, hi))
+
+    vkwargs = dict(
+        k=k,
+        ngram=ngram,
+        tmin=cfg["verify_jaccard"],
+        eps=cfg["sketch_eps"],
+        cluster_nulls=cfg["null_captions"] == "cluster",
+    )
+
+    def verify(t: pa.Table, refs=tuple(payload_refs)) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "bl": pa.array([], pa.int8())}
+            )
+        lo_, hi_ = ray.get(bounds_ref)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.concatenate([src, dst]))
+        c = np.searchsorted(lo_, uniq, side="right") - 1
+        ok = (c >= 0) & (uniq <= hi_[np.clip(c, 0, len(hi_) - 1)])
+        need = np.unique(c[ok])
+        packed = dict(zip(need.tolist(), ray.get([refs[int(i)] for i in need])))
+        # rebuild a csk ListArray over the uniq endpoints (missing rids —
+        # impossible by construction — become nulls and reject their pairs)
+        word_lens = np.zeros(len(uniq), dtype=np.int64)
+        validity = np.zeros(len(uniq), dtype=bool)
+        pieces: list[np.ndarray] = []
+        pos_in_chunk = np.full(len(uniq), -1, dtype=np.int64)
+        for ci in need.tolist():
+            rid_s, offs_s, buf_s, valid_s = packed[ci]
+            sel = np.flatnonzero((c == ci) & ok)
+            p = np.clip(np.searchsorted(rid_s, uniq[sel]), 0, len(rid_s) - 1)
+            hit = rid_s[p] == uniq[sel]
+            sel, p = sel[hit], p[hit]
+            pos_in_chunk[sel] = p
+            word_lens[sel] = offs_s[p + 1] - offs_s[p]
+            validity[sel] = valid_s[p]
+        # gather words in uniq order (chunk locality: group by chunk)
+        out_off = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(word_lens, out=out_off[1:])
+        words = np.zeros(int(out_off[-1]), dtype=np.uint64)
+        for ci in need.tolist():
+            rid_s, offs_s, buf_s, _ = packed[ci]
+            sel = np.flatnonzero((c == ci) & ok & (pos_in_chunk >= 0))
+            if not len(sel):
+                continue
+            p = pos_in_chunk[sel]
+            lens = offs_s[p + 1] - offs_s[p]
+            words[_ranges_to_indices(out_off[sel], lens)] = buf_s[
+                _ranges_to_indices(offs_s[p], lens)
+            ]
+        arr = pa.ListArray.from_arrays(
+            pa.array(out_off.astype(np.int32), pa.int32()),
+            pa.array(words, pa.uint64()),
+        )
+        if not validity.all():
+            arr = pc.if_else(pa.array(~validity), pa.nulls(len(uniq), arr.type), arr)
+        sp = np.searchsorted(uniq, src)
+        dp = np.searchsorted(uniq, dst)
+        acc, brd = caption_sketch_verify_kernel(
+            pa.table({"csk": arr}), sp, dp, run_token="", **vkwargs
+        )
+        keep = acc | brd
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "bl": pa.array(brd[keep].astype(np.int8), pa.int8()),
+            }
+        )
+
+    res = cand_ds.map_batches(verify, batch_format="pyarrow").materialize()
+
+    # borderline pairs are a small stream (0 on typical corpora): collect
+    # them for the exact-confirm pass, as the bucket-scope path does
+    def _bl_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["bl"], pa.scalar(1, pa.int8()))).select(
+            ["src", "dst"]
+        )
+
+    def _acc_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["bl"], pa.scalar(0, pa.int8()))).select(
+            ["src", "dst"]
+        )
+
+    bl_rows = res.map_batches(_bl_only, batch_format="pyarrow").take_all()
+    stats = {"borderline_pairs": [(r["src"], r["dst"]) for r in bl_rows]}
+    confirmed_tbl = _confirm_borderline(ds, cfg, stats)
+    verified = res.map_batches(_acc_only, batch_format="pyarrow")
+    confirmed = 0
+    if confirmed_tbl is not None:
+        confirmed = confirmed_tbl.num_rows
+        verified = verified.union(ray.data.from_arrow(confirmed_tbl))
+    verified = verified.materialize()
+    ckpt.record("caption_pack", **ckpt_stats)
+    return _finish(verified, len(stats["borderline_pairs"]), confirmed)
+
 def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     import functools
+
+    if (
+        cfg["caption_verify"]
+        and cfg["verify_payload"] == "sketch"
+        and cfg.get("caption_verify_scope", "bucket") == "pair"
+    ):
+        return _caption_edges_pair_verify(ds, cfg, ckpt)
 
     banded = ds.map_batches(
         caption_band_stage,

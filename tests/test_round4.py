@@ -236,3 +236,83 @@ def test_assign_dataset_scope_megacluster_many_blocks(ray_session):
         assert got[f"img_{i}"] == (0, "img_0"), i
     for i in range(300, n):
         assert got[f"img_{i}"] == (i, f"img_{i}"), i
+
+
+# ---------------------------------------------------------------------------
+# caption pair-scope verify (caption_verify_scope="pair")
+# ---------------------------------------------------------------------------
+
+
+def test_caption_pair_scope_parity_and_bounded_pack(ray_session, tmp_path):
+    """``caption_verify_scope='pair'`` (band rows carry no payload; every
+    DISTINCT candidate pair verified exactly once against range-packed
+    sketch objects) must produce the same clusters as the default bucket
+    scope, in both edge scopes, and must split the sketch pack into
+    multiple bounded objects when ``sketch_pack_rows`` is small."""
+    import os
+
+    from liken_ray.io.synth import write_pairs_dataset
+    from liken_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "pairs")
+    write_pairs_dataset(out, n_rows=600, seed=33, shards=3)
+    src = os.path.join(out, "pairs")
+    res_a = run_flagship(src, {})
+    am = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"])
+          for r in res_a["assignments"].take_all()}
+    for edges_scope in ("driver", "dataset"):
+        cfg = {
+            "caption_verify_scope": "pair",
+            "sketch_pack_rows": 32,
+            "edges_scope": edges_scope,
+        }
+        if edges_scope == "dataset":
+            cfg["edge_uf_limit"] = 0
+        res_b = run_flagship(src, cfg)
+        bm = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"])
+              for r in res_b["assignments"].take_all()}
+        assert bm == am, edges_scope
+        cap_stage = res_b["metrics"]["stages"]["caption_edges"]
+        assert cap_stage["verify_scope"] == "pair"
+        assert cap_stage["payload_row_bytes"] == 0
+        pack = res_b["metrics"]["stages"]["caption_pack"]
+        assert pack["sketch_pack_chunks"] > 1
+        # 32 endpoints/chunk x (k+1) words x 8 B, ragged slack allowed
+        assert pack["sketch_pack_max_bytes"] <= 3 * 32 * 257 * 8
+
+
+def test_constructor_level_id_kwarg(ray_session):
+    """``lk.dedupe(ds, id="rid")`` must treat the constructor-level id as
+    the default for every terminal verb (previously it collided with the
+    verb's own ``id=`` into a duplicate-kwarg TypeError), and an explicit
+    ``canonicalize(id=...)`` must still win."""
+    import pandas as pd
+    import ray.data
+
+    import liken_ray as lk
+
+    df = pd.DataFrame(
+        {"name": ["a", "a", "b", "c"], "rid": [10, 11, 12, 13]}
+    )
+    ds = ray.data.from_pandas(df)
+    out = lk.dedupe(ds, id="rid").apply(lk.exact()).drop_duplicates(columns="name")
+    assert sorted(r["rid"] for r in out.take_all()) == [10, 12, 13]
+    # constructor id as canonicalize default
+    lab = (
+        lk.dedupe(ray.data.from_pandas(df), id="rid")
+        .apply(lk.exact())
+        .canonicalize(columns="name")
+        .collect()
+    )
+    got = {r["rid"]: r["canonical_id"] for r in lab.take_all()}
+    assert got == {10: 10, 11: 10, 12: 12, 13: 13}
+    # verb-level id wins over the constructor default
+    df2 = df.assign(other=[20, 21, 22, 23])
+    lab2 = (
+        lk.dedupe(ray.data.from_pandas(df2), id="rid")
+        .apply(lk.exact())
+        .canonicalize(columns="name", id="other")
+        .collect()
+    )
+    got2 = {r["rid"]: r["canonical_id"] for r in lab2.take_all()}
+    assert got2 == {10: 20, 11: 20, 12: 22, 13: 23}

@@ -22,6 +22,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _docs(sf_dir: str):
@@ -594,6 +595,56 @@ def _decontaminate_documents(sf_dir: str):
     return decontaminate(train, idx, n=3)
 
 
+
+
+# PII enrichment expression shared (verbatim semantics) by the Ray query
+# and the SQL oracle: documents carry no PII-shaped content, so both sides
+# derive it deterministically from doc_id before scrubbing — the gate then
+# hash-checks the scrub kernels (RE2 in pyarrow.compute vs RE2 in DuckDB)
+# on text where every row has guaranteed matches.
+def _pii_enrich(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = pc.fill_null(batch["text"], "")
+    enriched = pc.binary_join_element_wise(
+        txt,
+        " contact user",
+        pa.array([str(i) for i in ids.tolist()]),
+        "@example.com from 10.0.",
+        pa.array([str(i % 256) for i in ids.tolist()]),
+        ".7 tel +14155550",
+        pa.array([str(100 + i % 900) for i in ids.tolist()]),
+        "",
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": enriched})
+
+
+def _pii_scrub_documents(sf_dir: str):
+    from liken_ray.extras.curation import pii_scrub
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pii_scrub(docs.map_batches(_pii_enrich, batch_format="pyarrow"))
+
+
+def _repetition_stats_documents(sf_dir: str):
+    """Gopher-style duplicate-line stats. Documents are single-line, so
+    both sides turn spaces into newlines first — real word repetition then
+    yields nontrivial duplicate-line structure on every row."""
+    from liken_ray.extras.curation import repetition_stats
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pc.replace_substring(
+                    pc.fill_null(batch["text"], ""), " ", "\n"
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(docs.map_batches(to_lines, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -630,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer": _orders_per_customer,
         "hash_split_documents": _hash_split_documents,
         "decontaminate_documents": _decontaminate_documents,
+        "pii_scrub_documents": _pii_scrub_documents,
+        "repetition_stats_documents": _repetition_stats_documents,
     }
 
 
@@ -777,6 +830,49 @@ _DECONTAMINATE_SQL = (
 )
 
 
+
+
+_PII_ENRICH_SQL = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 tel +14155550' || CAST(100 + doc_id % 900 AS VARCHAR)"
+)
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB replica of ``extras.curation.pii_scrub`` over the same
+    enrichment expression: both engines run RE2, so the identical pattern
+    strings scrub and count identically. Counts are per-category against
+    the original text; the scrub chains the patterns in list order."""
+    from liken_ray.extras.curation import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(length(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return (
+        f"WITH e AS (SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents) "
+        f"SELECT doc_id, {counts}, {scrub} AS text FROM e"
+    )
+
+
+_REPETITION_STATS_SQL = (
+    "WITH d AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS t "
+    "FROM documents), "
+    "l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d), "
+    "g AS (SELECT doc_id, line, count(*) AS c, strlen(line) AS len "
+    "FROM l GROUP BY doc_id, line) "
+    "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+    "CAST(count(*) AS BIGINT) AS n_distinct_lines, "
+    "CAST(sum((c - 1) * len) AS BIGINT) AS dup_line_bytes, "
+    "CAST(sum(c * len) AS BIGINT) AS total_line_bytes "
+    "FROM g GROUP BY doc_id"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_documents": (
@@ -920,4 +1016,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hash_split_documents": _hash_split_sql(),
         "decontaminate_documents": _DECONTAMINATE_SQL,
+        "pii_scrub_documents": _pii_scrub_sql(),
+        "repetition_stats_documents": _REPETITION_STATS_SQL,
     }

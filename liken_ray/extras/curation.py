@@ -257,3 +257,147 @@ def _seg_counts(hit: np.ndarray, row_off: np.ndarray) -> np.ndarray:
     csum = np.zeros(len(hit) + 1, dtype=np.int64)
     np.cumsum(hit, out=csum[1:])
     return csum[row_off[1:]] - csum[row_off[:-1]]
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement token), applied IN ORDER. RE2 on both
+# sides of the oracle gate: pyarrow.compute's replace_substring_regex and
+# DuckDB's regexp_replace share the RE2 dialect, so the same pattern string
+# scrubs identically in the engine and in SQL. Patterns are deliberately
+# conservative (no lookaround — RE2 has none); email precedes ipv4/phone so
+# a dotted domain is consumed as an email before the ip pattern sees it.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+):
+    """Redact PII-looking spans; one streaming vectorized pass, no shuffle.
+
+    Emits ``(id_col, text_col scrubbed, n_<name> int64 per pattern)``.
+    Counts are per-category matches against the ORIGINAL text (independent
+    of scrub order); the scrub itself applies the patterns sequentially in
+    list order. Everything is ``pyarrow.compute`` RE2 kernels — no Python
+    touches a row."""
+    import pyarrow.compute as pc
+
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        cols: dict = {id_col: batch[id_col]}
+        out = col
+        for name, pat, token in pats:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64()
+            )
+            out = pc.replace_substring_regex(out, pat, token)
+        cols[text_col] = out
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style duplicate-line fractions)
+# ---------------------------------------------------------------------------
+
+
+def _line_hashes(flat: pa.Array) -> np.ndarray:
+    """64-bit polynomial hash of every string in a flat StringArray —
+    one prefix-sum over the gathered byte buffer, zero per-line Python.
+    Length is mixed in so short prefixes don't collide with their
+    extensions; equality-by-hash stands in for equality-by-value (the
+    DuckDB oracle compares the strings themselves, so a collision would
+    fail the gate — probability ~2^-64 per pair). Slice-safe: offsets are
+    read relative to the array's own offset."""
+    n = len(flat)
+    raw_off = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    off = raw_off[flat.offset : flat.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    starts, lens = off[:-1], np.diff(off)
+    total = int(lens.sum())
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    if total == 0:
+        h = np.zeros(n, dtype=np.uint64)
+        return splitmix64(h ^ lens.astype(np.uint64))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    buf = data[np.repeat(starts, lens) + pos]
+    fwd, _ = _powers(int(lens.max()))
+    with np.errstate(over="ignore"):
+        weighted = (buf.astype(np.uint64) + np.uint64(1)) * fwd[pos]
+        prefix = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(weighted, out=prefix[1:])
+        h = prefix[out_off[1:]] - prefix[out_off[:-1]]
+    return splitmix64(h ^ lens.astype(np.uint64))
+
+
+def repetition_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+):
+    """Per-document duplicate-line statistics (the Gopher repetition
+    filters' building block, Rae et al. 2021 §A1.1): emits
+    ``(id_col, n_lines, n_distinct_lines, dup_line_bytes,
+    total_line_bytes)`` as int64 — integer numerators/denominators so the
+    oracle gate compares exact values, not float formatting. A line
+    occurrence beyond the first identical one in the SAME document is a
+    duplicate; ``dup_line_bytes`` sums those occurrences' byte lengths.
+
+    One streaming pass: ``pc.split_pattern`` explodes lines (Arrow list),
+    the flat child array is hashed in one prefix-sum, and per-document
+    aggregation is a lexsort + segmented scans. No shuffle — repetition is
+    an intra-document property."""
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(pc.coalesce(col, ""), line_sep)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        loff = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        loff = loff - loff[0]
+        flat = lst.flatten()
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(flat)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(loff))
+        if m:
+            h = _line_hashes(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+            order = np.lexsort((h, row))
+            hs, rs, ls = h[order], row[order], lens[order]
+            first = np.ones(m, dtype=bool)
+            first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            n_lines = np.bincount(rs, minlength=n)
+            n_distinct = np.bincount(rs[first], minlength=n)
+            dup_chars = np.bincount(rs[~first], weights=ls[~first], minlength=n).astype(np.int64)
+            tot_chars = np.bincount(rs, weights=ls, minlength=n).astype(np.int64)
+        else:
+            n_lines = n_distinct = np.zeros(n, dtype=np.int64)
+            dup_chars = tot_chars = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_distinct_lines": pa.array(n_distinct, pa.int64()),
+                "dup_line_bytes": pa.array(dup_chars, pa.int64()),
+                "total_line_bytes": pa.array(tot_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

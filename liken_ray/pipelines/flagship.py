@@ -894,6 +894,7 @@ def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
     ckpt.record("caption_pack", **ckpt_stats)
     return _finish(verified, len(stats["borderline_pairs"]), confirmed)
 
+
 def _caption_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     import functools
 

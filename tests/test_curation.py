@@ -156,3 +156,78 @@ def test_decontaminate_drop_mode(ray_session):
     assert [r["doc_id"] for r in kept] == [2]
     with pytest.raises(ValueError):
         decontaminate(train, idx, mode="purge")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_kernel_and_ray(ray_session):
+    """Email / ipv4 / phone patterns scrub and count correctly through the
+    Ray op; clean rows pass untouched. Oracle parity (pyarrow RE2 vs DuckDB
+    RE2) is covered by the `pii_scrub_documents` gate query."""
+    import ray.data
+
+    from liken_ray.extras.curation import pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a@b.co or x.y+z@ex.org, ip 10.0.0.1 tel +14155550100",
+                    "clean text, version 1.2 is not an ip",
+                    "edge 255.255.255.255 and +1234567",
+                ]
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    assert out[0]["text"] == "mail <EMAIL> or <EMAIL>, ip <IP> tel <PHONE>"
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 1, 1)
+    assert out[1]["text"] == "clean text, version 1.2 is not an ip"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 0, 0)
+    assert out[2]["text"] == "edge <IP> and <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_matches_python_reference(ray_session):
+    """Duplicate-line counts/bytes match a per-row Counter reference over
+    tricky rows: dups, empty text, nulls, unicode, empty lines, slices."""
+    from collections import Counter
+
+    import ray.data
+
+    from liken_ray.extras.curation import repetition_stats
+
+    texts = ["a\nb\na", "", None, "x\nx\nx\nyy", "é\né", "single", "\n\n"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(ray.data.from_arrow(t).repartition(3)).take_all()
+    }
+    for i, txt in enumerate(texts):
+        lines = (txt or "").split("\n")
+        c = Counter(lines)
+        dup = sum(len(k.encode()) * (v - 1) for k, v in c.items())
+        tot = sum(len(k.encode()) * v for k, v in c.items())
+        r = got[i]
+        assert (
+            r["n_lines"],
+            r["n_distinct_lines"],
+            r["dup_line_bytes"],
+            r["total_line_bytes"],
+        ) == (len(lines), len(c), dup, tot), i

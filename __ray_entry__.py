@@ -645,6 +645,19 @@ def _repetition_stats_documents(sf_dir: str):
     return repetition_stats(docs.map_batches(to_lines, batch_format="pyarrow"))
 
 
+
+
+def _top_ngram_documents(sf_dir: str):
+    """Most-frequent word-bigram coverage per document (Gopher repetition
+    filter family; raw text — real word repetition makes every doc
+    nontrivial)."""
+    from liken_ray.extras.curation import top_ngram_stats
+
+    return top_ngram_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": _decontaminate_documents,
         "pii_scrub_documents": _pii_scrub_documents,
         "repetition_stats_documents": _repetition_stats_documents,
+        "top_ngram_documents": _top_ngram_documents,
     }
 
 
@@ -873,6 +887,33 @@ _REPETITION_STATS_SQL = (
 )
 
 
+
+
+# most-frequent word-bigram coverage; gram construction mirrors
+# _DECONTAMINATE_SQL's norm CTE (trim + \s+ -> ' ', single-space joins);
+# docs with <2 tokens (incl. null/empty text) emit zeros via the LEFT JOIN
+_TOP_NGRAM_SQL = (
+    "WITH norm AS (SELECT doc_id, string_split(regexp_replace("
+    "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+    "'\\s+', ' ', 'g'), ' ') AS toks FROM documents WHERE text IS NOT NULL), "
+    "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1])) AS gram "
+    "FROM norm WHERE len(toks) >= 2 AND toks[1] <> ''), "
+    "g AS (SELECT doc_id, gram, count(*) AS c, strlen(gram) AS len "
+    "FROM grams GROUP BY doc_id, gram), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+    "CAST(max(c) AS BIGINT) AS top_gram_count FROM g GROUP BY doc_id), "
+    "b AS (SELECT g.doc_id, CAST(max(g.c * g.len) AS BIGINT) AS cover "
+    "FROM g JOIN a USING (doc_id) WHERE g.c = a.top_gram_count "
+    "GROUP BY g.doc_id) "
+    "SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams, "
+    "COALESCE(a.top_gram_count, 0) AS top_gram_count, "
+    "COALESCE(b.cover, 0) AS top_gram_cover_bytes "
+    "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id "
+    "LEFT JOIN b ON d.doc_id = b.doc_id"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_documents": (
@@ -1018,4 +1059,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": _DECONTAMINATE_SQL,
         "pii_scrub_documents": _pii_scrub_sql(),
         "repetition_stats_documents": _REPETITION_STATS_SQL,
+        "top_ngram_documents": _TOP_NGRAM_SQL,
     }

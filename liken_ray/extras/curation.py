@@ -127,12 +127,14 @@ def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def gram_hashes(
-    texts: list, n: int
-) -> tuple[np.ndarray, np.ndarray]:
+    texts: list, n: int, return_lengths: bool = False
+):
     """Whitespace-token ``n``-gram hashes for every row, fully vectorized
     after normalization. Returns ``(hashes, row_offsets)``: row ``r``'s
     grams are ``hashes[row_offsets[r]:row_offsets[r+1]]``. Rows with fewer
-    than ``n`` tokens (incl. null/empty) contribute zero grams.
+    than ``n`` tokens (incl. null/empty) contribute zero grams. With
+    ``return_lengths`` a third array gives each gram's byte length (tokens
+    plus the joining spaces — exactly ``strlen(gram)`` of the SQL replica).
 
     A gram IS a substring of the normalized text (tokens joined by single
     spaces), so gram hashes are windowed polynomial hashes over one
@@ -146,8 +148,9 @@ def gram_hashes(
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
     row_off = np.zeros(nrows + 1, dtype=np.int64)
+    empty = (np.empty(0, dtype=np.uint64), row_off, np.empty(0, dtype=np.int64))
     if total == 0:
-        return np.empty(0, dtype=np.uint64), row_off
+        return empty if return_lengths else empty[:2]
 
     buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
     space = np.flatnonzero(buf == 0x20)
@@ -165,7 +168,7 @@ def gram_hashes(
     np.cumsum(gram_counts, out=row_off[1:])
     ngrams = int(row_off[-1])
     if ngrams == 0:
-        return np.empty(0, dtype=np.uint64), row_off
+        return empty if return_lengths else empty[:2]
 
     # per-row-position weighted prefix sums (the fingerprint kernel's
     # pattern), then window extraction at token boundaries
@@ -189,6 +192,8 @@ def gram_hashes(
         h ^= h >> np.uint64(31)
         h = h * np.uint64(_MIX2)
         h ^= h >> np.uint64(29)
+    if return_lengths:
+        return h, row_off, e - s
     return h, row_off
 
 
@@ -397,6 +402,63 @@ def repetition_stats(
                 "n_distinct_lines": pa.array(n_distinct, pa.int64()),
                 "dup_line_bytes": pa.array(dup_chars, pa.int64()),
                 "total_line_bytes": pa.array(tot_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def top_ngram_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+):
+    """Most-frequent word n-gram coverage (the remaining Gopher repetition
+    filter, Rae et al. 2021 §A1.1): per document emits ``n_grams`` (total
+    n-gram occurrences), ``top_gram_count`` (occurrences of the most
+    frequent n-gram) and ``top_gram_cover_bytes`` (that count times the
+    gram's byte length; count ties resolve to the larger product, making
+    the output independent of gram ordering) — exact int64s, fractions
+    left to the caller. Rows with fewer than ``n`` tokens emit zeros.
+
+    One streaming pass; per-document aggregation is a lexsort + segmented
+    scans over the flat gram-hash buffer (equality-by-hash stands in for
+    equality-by-value; the SQL oracle groups the gram STRINGS, so a
+    collision would fail the gate — probability ~2^-64 per pair)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        h, row_off, gl = gram_hashes(
+            batch[text_col].to_pylist(), n, return_lengths=True
+        )
+        n_grams = np.diff(row_off)
+        top_c = np.zeros(nrows, dtype=np.int64)
+        cover = np.zeros(nrows, dtype=np.int64)
+        m = len(h)
+        if m:
+            row = np.repeat(np.arange(nrows, dtype=np.int64), n_grams)
+            order = np.lexsort((h, row))
+            hs, rs, ls = h[order], row[order], gl[order]
+            first = np.ones(m, dtype=bool)
+            first[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            gidx = np.cumsum(first) - 1  # group id per occurrence
+            g_row = rs[first]
+            g_len = ls[first]
+            g_cnt = np.bincount(gidx)
+            # segmented max over each row's contiguous group run
+            g_first_of_row = np.ones(len(g_row), dtype=bool)
+            g_first_of_row[1:] = g_row[1:] != g_row[:-1]
+            rstarts = np.flatnonzero(g_first_of_row)
+            top_c[g_row[rstarts]] = np.maximum.reduceat(g_cnt, rstarts)
+            prod = np.where(g_cnt == top_c[g_row], g_cnt * g_len, 0)
+            cover[g_row[rstarts]] = np.maximum.reduceat(prod, rstarts)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "top_gram_count": pa.array(top_c, pa.int64()),
+                "top_gram_cover_bytes": pa.array(cover, pa.int64()),
             }
         )
 

@@ -231,3 +231,58 @@ def test_repetition_stats_matches_python_reference(ray_session):
             r["dup_line_bytes"],
             r["total_line_bytes"],
         ) == (len(lines), len(c), dup, tot), i
+
+
+def test_top_ngram_stats_matches_python_reference(ray_session):
+    """Most-frequent-bigram counts/coverage match a per-row Counter
+    reference, incl. tie-break (max count, then max count*bytes), short
+    rows, nulls, and whitespace normalization."""
+    import re
+    from collections import Counter
+
+    import ray.data
+
+    from liken_ray.extras.curation import top_ngram_stats
+
+    texts = [
+        "a b a b a",
+        "one two",
+        "x",
+        None,
+        "",
+        "  spaced   out  words here spaced   out  ",
+        "t t t t",
+        "aa bb aa bb cc dd cc dd",  # count tie, different byte lengths
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in top_ngram_stats(
+            ray.data.from_arrow(t).repartition(3), n=2
+        ).take_all()
+    }
+
+    def ref(txt, n=2):
+        if txt is None:
+            return (0, 0, 0)
+        toks = re.sub(r"\s+", " ", txt.strip()).split(" ")
+        if toks == [""] or len(toks) < n:
+            return (0, 0, 0)
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        topc = max(c.values())
+        cover = max(v * len(k.encode()) for k, v in c.items() if v == topc)
+        return (len(grams), topc, cover)
+
+    for i, txt in enumerate(texts):
+        r = got[i]
+        assert (
+            r["n_grams"],
+            r["top_gram_count"],
+            r["top_gram_cover_bytes"],
+        ) == ref(txt), i

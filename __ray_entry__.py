@@ -658,6 +658,21 @@ def _top_ngram_documents(sf_dir: str):
     )
 
 
+
+
+def _pack_offsets_documents(sf_dir: str):
+    """Concat-and-chunk packing assignment over n_chars: global exclusive
+    running sum in doc_id order (one sort + O(blocks) stitch), window =
+    start // capacity."""
+    from liken_ray.extras.curation import pack_offsets
+
+    return pack_offsets(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        size_col="n_chars",
+        capacity=4096,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -697,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_documents": _pii_scrub_documents,
         "repetition_stats_documents": _repetition_stats_documents,
         "top_ngram_documents": _top_ngram_documents,
+        "pack_offsets_documents": _pack_offsets_documents,
     }
 
 
@@ -914,6 +930,18 @@ _TOP_NGRAM_SQL = (
 )
 
 
+
+
+_PACK_OFFSETS_SQL = (
+    "SELECT doc_id, CAST(COALESCE(sum(COALESCE(n_chars, 0)) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS BIGINT) AS start_offset, "
+    "CAST(COALESCE(sum(COALESCE(n_chars, 0)) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "// 4096 AS BIGINT) AS bin FROM documents"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_documents": (
@@ -1060,4 +1088,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_documents": _pii_scrub_sql(),
         "repetition_stats_documents": _REPETITION_STATS_SQL,
         "top_ngram_documents": _TOP_NGRAM_SQL,
+        "pack_offsets_documents": _PACK_OFFSETS_SQL,
     }

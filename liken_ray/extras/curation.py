@@ -463,3 +463,85 @@ def top_ngram_stats(
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def pack_offsets(
+    ds,
+    size_col: str = "n_chars",
+    capacity: int = 4096,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+):
+    """Concat-and-chunk sequence-packing assignment (the LM-training
+    pattern: documents are concatenated in a deterministic order and the
+    stream is cut into fixed ``capacity``-sized windows). Emits
+    ``(id_col, start_offset, bin)`` where ``start_offset`` is the global
+    EXCLUSIVE running sum of ``size_col`` in ``order_col`` order (nulls
+    count 0) and ``bin = start_offset // capacity`` — the window where the
+    document STARTS, which is what a packer needs to route documents to
+    shards/workers.
+
+    A running sum is inherently sequential; distributed form: ONE sort by
+    ``order_col`` (the only shuffle), a tiny per-block size-sum pass
+    (O(blocks) scalars to the driver), then each block tags its rows with
+    ``block offset + local exclusive cumsum`` independently. Same
+    O(blocks)-stitch shape as ``ensure_row_id`` / ``sessionize``."""
+    import ray
+    import ray.data
+    from ray.data.block import BlockAccessor
+
+    import pyarrow.compute as pc
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    order_col = order_col or id_col
+    srt = ds.sort(order_col).materialize()
+
+    @ray.remote
+    def block_sum(block) -> int:
+        t = BlockAccessor.for_block(block).to_arrow()
+        s = pc.sum(pc.fill_null(t[size_col].cast(pa.int64()), 0)).as_py()
+        return int(s or 0)
+
+    @ray.remote
+    def tag(block, offset: int):
+        t = BlockAccessor.for_block(block).to_arrow()
+        sz = (
+            pc.fill_null(t[size_col].cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        start = np.full(len(sz), offset, dtype=np.int64)
+        if len(sz) > 1:
+            start[1:] += np.cumsum(sz[:-1])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "start_offset": pa.array(start, pa.int64()),
+                "bin": pa.array(start // capacity, pa.int64()),
+            }
+        )
+
+    # skip zero-row blocks: Ray's sort emits an empty block with an EMPTY
+    # schema for empty input, which would KeyError in block_sum
+    refs = [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not refs:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "start_offset": pa.array([], pa.int64()),
+                "bin": pa.array([], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.zeros(len(sums) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(sums, dtype=np.int64), out=offsets[1:])
+    return ray.data.from_arrow_refs(
+        [tag.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])]
+    )

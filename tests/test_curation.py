@@ -286,3 +286,54 @@ def test_top_ngram_stats_matches_python_reference(ray_session):
             r["top_gram_count"],
             r["top_gram_cover_bytes"],
         ) == ref(txt), i
+
+
+def test_pack_offsets_matches_sequential_reference(ray_session):
+    """Global exclusive running sum + window assignment must be exact and
+    block-count independent (the only shuffle is the order sort; offsets
+    stitch across blocks)."""
+    import ray.data
+
+    from liken_ray.extras.curation import pack_offsets
+
+    rng = np.random.default_rng(11)
+    n = 500
+    sizes = rng.integers(0, 300, n).astype("int64")
+    sizes[17] = 0
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)[::-1].copy(), pa.int64()),  # unsorted
+            "n_chars": pa.array(sizes[::-1].copy(), pa.int64()),
+        }
+    )
+    expect_start = np.zeros(n, dtype=np.int64)
+    expect_start[1:] = np.cumsum(sizes[:-1])
+    for nblocks in (1, 7):
+        out = pack_offsets(
+            ray.data.from_arrow(t).repartition(nblocks), capacity=512
+        ).take_all()
+        got = {r["doc_id"]: (r["start_offset"], r["bin"]) for r in out}
+        for i in range(n):
+            assert got[i] == (expect_start[i], expect_start[i] // 512), (nblocks, i)
+
+
+def test_pack_offsets_nulls_and_empty(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import pack_offsets
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "n_chars": pa.array([5, None, 3], pa.int64()),
+        }
+    )
+    out = {r["doc_id"]: r["start_offset"]
+           for r in pack_offsets(ray.data.from_arrow(t), capacity=4).take_all()}
+    assert out == {0: 0, 1: 5, 2: 5}
+    empty = pack_offsets(
+        ray.data.from_arrow(t.slice(0, 0)), capacity=4
+    ).take_all()
+    assert empty == []
+    with pytest.raises(ValueError):
+        pack_offsets(ray.data.from_arrow(t), capacity=0)

@@ -673,6 +673,25 @@ def _pack_offsets_documents(sf_dir: str):
     )
 
 
+
+
+def _hash_sample_documents(sf_dir: str):
+    """Deterministic 50-row uniform sample: k smallest splitmix64(doc_id)
+    priorities win; per-block top-k combine + broadcast membership filter,
+    no shuffle."""
+    from liken_ray.extras.curation import hash_sample
+
+    return hash_sample(_read(sf_dir, "documents"), k=50)
+
+
+def _stratified_sample_documents(sf_dir: str):
+    """Deterministic 20-per-language sample (k smallest priorities within
+    each lang); per-key block top-k combine, no shuffle."""
+    from liken_ray.extras.curation import stratified_sample
+
+    return stratified_sample(_read(sf_dir, "documents"), key_col="lang", k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -713,6 +732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": _repetition_stats_documents,
         "top_ngram_documents": _top_ngram_documents,
         "pack_offsets_documents": _pack_offsets_documents,
+        "hash_sample_documents": _hash_sample_documents,
+        "stratified_sample_documents": _stratified_sample_documents,
     }
 
 
@@ -942,6 +963,44 @@ _PACK_OFFSETS_SQL = (
 )
 
 
+
+
+def _splitmix_h_cte(cols: str) -> str:
+    """CTE chain computing h = splitmix64(doc_id) in DuckDB (UHUGEINT
+    mod-2^64 arithmetic; shared constants with extras.curation) alongside
+    the carried columns."""
+    from liken_ray.extras.curation import _GOLDEN, _MIX1, _MIX2
+
+    m = 1 << 64
+    return (
+        f"WITH z0 AS (SELECT {cols}, CAST((CAST(doc_id AS UHUGEINT) + "
+        f"{_GOLDEN}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS a FROM documents), "
+        f"z1 AS (SELECT {cols}, CAST((CAST(xor(a, a >> 30) AS UHUGEINT) * "
+        f"{_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS b FROM z0), "
+        f"z2 AS (SELECT {cols}, CAST((CAST(xor(b, b >> 27) AS UHUGEINT) * "
+        f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1), "
+        f"h AS (SELECT {cols}, xor(c, c >> 31) AS h FROM z2) "
+    )
+
+
+def _hash_sample_sql() -> str:
+    # splitmix64 is a bijection -> priorities are unique, no tie-break needed
+    cols = "doc_id, text, lang, source, n_chars"
+    return (
+        _splitmix_h_cte(cols)
+        + f"SELECT {cols} FROM h QUALIFY row_number() OVER (ORDER BY h) <= 50"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    cols = "doc_id, text, lang, source, n_chars"
+    return (
+        _splitmix_h_cte(cols)
+        + f"SELECT {cols} FROM h WHERE lang IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= 20"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_documents": (
@@ -1089,4 +1148,6 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_documents": _REPETITION_STATS_SQL,
         "top_ngram_documents": _TOP_NGRAM_SQL,
         "pack_offsets_documents": _PACK_OFFSETS_SQL,
+        "hash_sample_documents": _hash_sample_sql(),
+        "stratified_sample_documents": _stratified_sample_sql(),
     }

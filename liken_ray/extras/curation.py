@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -294,8 +295,6 @@ def pii_scrub(
     of scrub order); the scrub itself applies the patterns sequentially in
     list order. Everything is ``pyarrow.compute`` RE2 kernels — no Python
     touches a row."""
-    import pyarrow.compute as pc
-
     pats = PII_PATTERNS if patterns is None else patterns
 
     def scrub(batch: pa.Table) -> pa.Table:
@@ -366,8 +365,6 @@ def repetition_stats(
     the flat child array is hashed in one prefix-sum, and per-document
     aggregation is a lexsort + segmented scans. No shuffle — repetition is
     an intra-document property."""
-    import pyarrow.compute as pc
-
     def stats(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         col = batch[text_col]
@@ -490,8 +487,6 @@ def pack_offsets(
     import ray.data
     from ray.data.block import BlockAccessor
 
-    import pyarrow.compute as pc
-
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     order_col = order_col or id_col
@@ -545,3 +540,128 @@ def pack_offsets(
     return ray.data.from_arrow_refs(
         [tag.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])]
     )
+
+
+def _sample_priorities(ids: np.ndarray, salt: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return splitmix64(ids.view(np.uint64) + np.uint64(salt))
+
+
+def hash_sample(
+    ds,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Deterministic uniform sample WITHOUT a shuffle: every row gets the
+    priority ``splitmix64(id + salt)`` and the k smallest priorities win —
+    order-, partitioning- and rerun-independent (splitmix64 is a bijection
+    on uint64, so priorities are unique per id and there are no ties).
+    Distributed as a top-k combiner: each block streams back only its k
+    smallest (id, priority) pairs, the driver merges O(blocks x k), and
+    the winning ids filter the stream by a broadcast sorted-membership
+    mask — the same semi-join shape as decontaminate. Re-salting draws an
+    independent sample."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = _sample_priorities(ids, salt)
+        if len(pr) > k:
+            keep = np.argpartition(pr, k)[:k]
+            ids, pr = ids[keep], pr[keep]
+        return pa.table(
+            {"i": pa.array(ids, pa.int64()), "p": pa.array(pr, pa.uint64())}
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    if not parts:
+        return ds.filter(lambda row: False)
+    ids = np.array([r["i"] for r in parts], dtype=np.int64)
+    pr = np.array([r["p"] for r in parts], dtype=np.uint64)
+    win = np.sort(ids[np.argsort(pr)[:k]])
+    win_ref = ray.put(win)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
+        want = ray.get(win_ref)
+        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(sorted_membership_mask(rid, want)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Deterministic per-key sample: the k smallest
+    ``splitmix64(id + salt)`` priorities WITHIN each ``key_col`` value win
+    (k per stratum, fewer if the stratum is smaller). Same combiner shape
+    as ``hash_sample``, with the partial top-k computed per key inside
+    each block (lexsort + rank-within-run — no per-key Python), so the
+    driver merge is O(keys x blocks x k). Intended for low-cardinality
+    strata (languages, sources, splits); for high-cardinality keys use a
+    threshold on the priority instead (``hash_split`` semantics)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = _sample_priorities(ids, salt)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        code = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
+        # null keys: indices come back as float NaN — coerce to -1 (dropped)
+        code = np.where(valid, np.nan_to_num(code, nan=-1), -1).astype(np.int64)
+        order = np.lexsort((pr, code))
+        cs, ps = code[order], pr[order]
+        rank = np.arange(len(cs), dtype=np.int64)
+        starts = np.zeros(len(cs), dtype=bool)
+        if len(cs):
+            starts[0] = True
+            starts[1:] = cs[1:] != cs[:-1]
+        run_start = np.maximum.accumulate(np.where(starts, rank, 0))
+        keep = order[(rank - run_start < k) & (cs >= 0)]
+        return pa.table(
+            {
+                "i": pa.array(ids[keep], pa.int64()),
+                "p": pa.array(pr[keep], pa.uint64()),
+                "key_": keys.take(pa.array(keep, pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    if not parts:
+        return ds.filter(lambda row: False)
+    pr = np.array([r["p"] for r in parts], dtype=np.uint64)
+    ids = np.array([r["i"] for r in parts], dtype=np.int64)
+    keys = pa.array([r["key_"] for r in parts])
+    code = np.asarray(keys.dictionary_encode().indices.to_numpy(zero_copy_only=False))
+    order = np.lexsort((pr, code))
+    cs = code[order]
+    rank = np.arange(len(cs), dtype=np.int64)
+    starts = np.zeros(len(cs), dtype=bool)
+    if len(cs):
+        starts[0] = True
+        starts[1:] = cs[1:] != cs[:-1]
+    run_start = np.maximum.accumulate(np.where(starts, rank, 0))
+    win = np.sort(ids[order[(rank - run_start) < k]])
+    win_ref = ray.put(win)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
+        want = ray.get(win_ref)
+        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(sorted_membership_mask(rid, want)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")

@@ -337,3 +337,57 @@ def test_pack_offsets_nulls_and_empty(ray_session):
     assert empty == []
     with pytest.raises(ValueError):
         pack_offsets(ray.data.from_arrow(t), capacity=0)
+
+
+def test_hash_sample_deterministic_and_partition_independent(ray_session):
+    """The k winners are the k smallest splitmix64 priorities — identical
+    across block counts and reruns; k >= n returns everything."""
+    import ray.data
+
+    from liken_ray.extras.curation import hash_sample, splitmix64
+
+    n = 300
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n) * 2, pa.int64())})
+    pr = splitmix64(np.arange(n, dtype=np.uint64))
+    expect = set(np.argsort(pr)[:25].tolist())
+    for nblocks in (1, 6):
+        got = {
+            r["doc_id"]
+            for r in hash_sample(
+                ray.data.from_arrow(t).repartition(nblocks), k=25
+            ).take_all()
+        }
+        assert got == expect, nblocks
+    assert len(hash_sample(ray.data.from_arrow(t), k=1000).take_all()) == n
+    with pytest.raises(ValueError):
+        hash_sample(ray.data.from_arrow(t), k=0)
+
+
+def test_stratified_sample_per_key_counts(ray_session):
+    """k winners per stratum (fewer when the stratum is smaller); null
+    keys are dropped; identical across block counts."""
+    import ray.data
+
+    from liken_ray.extras.curation import splitmix64, stratified_sample
+
+    n = 200
+    keys = ["a", "b", "c", None] * (n // 4)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "lang": pa.array(keys, pa.string())})
+    pr = splitmix64(np.arange(n, dtype=np.uint64))
+    expect = set()
+    for key in ("a", "b", "c"):
+        members = [i for i in range(n) if keys[i] == key]
+        expect |= set(sorted(members, key=lambda i: pr[i])[:7])
+    for nblocks in (1, 5):
+        rows = stratified_sample(
+            ray.data.from_arrow(t).repartition(nblocks), key_col="lang", k=7
+        ).take_all()
+        assert {r["doc_id"] for r in rows} == expect, nblocks
+        assert all(r["lang"] is not None for r in rows)
+    # small stratum: returns all of it
+    small = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "lang": pa.array(["x", "x", "y"], pa.string())})
+    rows = stratified_sample(ray.data.from_arrow(small), key_col="lang", k=5).take_all()
+    assert len(rows) == 3

@@ -675,8 +675,6 @@ def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
 
     Only meaningful for ``verify_payload='sketch'`` (exact mode would pack
     unbounded captions); the caller routes accordingly."""
-    import functools
-
     from ray.data.block import BlockAccessor
 
     from liken_ray.engine.blocking import bucket_edges_dataset, dedupe_edges_dataset
@@ -823,7 +821,6 @@ def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
         # impossible by construction — become nulls and reject their pairs)
         word_lens = np.zeros(len(uniq), dtype=np.int64)
         validity = np.zeros(len(uniq), dtype=bool)
-        pieces: list[np.ndarray] = []
         pos_in_chunk = np.full(len(uniq), -1, dtype=np.int64)
         for ci in need.tolist():
             rid_s, offs_s, buf_s, valid_s = packed[ci]

@@ -45,6 +45,12 @@ _MIX2 = 0x94D049BB133111EB
 _POW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
+def _salt64(salt: int) -> np.uint64:
+    """Any python int (incl. negative) as a wrapped uint64 — np.uint64(-1)
+    is an OverflowError on numpy >= 2."""
+    return np.uint64(salt & 0xFFFFFFFFFFFFFFFF)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer: uint64 in, uint64 out."""
     z = x.astype(np.uint64, copy=True)
@@ -89,14 +95,16 @@ def hash_split(
     against the cumulative thresholds of ``weights``. One streaming
     ``map_batches`` — no shuffle, no state; re-salting yields an
     independent re-split."""
-    thresholds = split_thresholds(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    thresholds = split_thresholds(
+        weights or {"train": 0.9, "val": 0.05, "test": 0.05}, buckets
+    )
     names = [n for n, _ in thresholds]
     bounds = np.array([b for _, b in thresholds], dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         with np.errstate(over="ignore"):
-            h = splitmix64(ids.view(np.uint64) + np.uint64(salt))
+            h = splitmix64(ids.view(np.uint64) + _salt64(salt))
         bucket = (h % np.uint64(buckets)).astype(np.int64)
         idx = np.searchsorted(bounds, bucket, side="right")
         split = pa.DictionaryArray.from_arrays(
@@ -114,17 +122,25 @@ def _normalize_texts(texts: list) -> list[bytes]:
     ]
 
 
+_POW_CACHE_MAX = 1 << 22  # ~67 MB for the pair of tables
+
+
 def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """(BASE^i, BASE^-i) for i in [0, n] — cached, grown geometrically."""
+    """(BASE^i, BASE^-i) for i in [0, n] — cached, grown geometrically.
+    Tables above ``_POW_CACHE_MAX`` (one pathological multi-MB document
+    would otherwise pin ~32 B per byte in every worker forever) are
+    computed fresh and NOT cached."""
     key = 1 << max(int(n).bit_length(), 10)
-    if key not in _POW_CACHE:
-        with np.errstate(over="ignore"):
-            fwd = np.ones(key + 1, dtype=np.uint64)
-            inv = np.ones(key + 1, dtype=np.uint64)
-            np.multiply.accumulate(np.full(key, _BASE), out=fwd[1:])
-            np.multiply.accumulate(np.full(key, _BASE_INV), out=inv[1:])
+    if key in _POW_CACHE:
+        return _POW_CACHE[key]
+    with np.errstate(over="ignore"):
+        fwd = np.ones(key + 1, dtype=np.uint64)
+        inv = np.ones(key + 1, dtype=np.uint64)
+        np.multiply.accumulate(np.full(key, _BASE), out=fwd[1:])
+        np.multiply.accumulate(np.full(key, _BASE_INV), out=inv[1:])
+    if key <= _POW_CACHE_MAX:
         _POW_CACHE[key] = (fwd, inv)
-    return _POW_CACHE[key]
+    return fwd, inv
 
 
 def gram_hashes(
@@ -214,7 +230,9 @@ def contamination_index(holdout_ds, text_col: str = "text", n: int = 3):
         grams = np.unique(np.array([r["g"] for r in parts], dtype=np.uint64))
     else:
         grams = np.empty(0, dtype=np.uint64)
-    return ray.put(grams)
+    # ship n with the grams: checking 3-gram hashes against a 13-gram
+    # index would silently report zero contamination
+    return ray.put((int(n), grams))
 
 
 def decontaminate(
@@ -235,7 +253,12 @@ def decontaminate(
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
 
     def check(batch: pa.Table) -> pa.Table:
-        grams = ray.get(index_ref)
+        idx_n, grams = ray.get(index_ref)
+        if idx_n != n:
+            raise ValueError(
+                f"decontaminate(n={n}) against an index built with "
+                f"n={idx_n}: gram hashes would never match"
+            )
         h, row_off = gram_hashes(batch[text_col].to_pylist(), n)
         if len(h) and len(grams):
             pos = np.searchsorted(grams, h)
@@ -302,8 +325,11 @@ def pii_scrub(
         cols: dict = {id_col: batch[id_col]}
         out = col
         for name, pat, token in pats:
-            cols[f"n_{name}"] = pc.cast(
-                pc.count_substring_regex(col, pat), pa.int64()
+            # null text scrubs to null but COUNTS as zero matches (the
+            # module's null convention: gram_hashes/repetition_stats also
+            # treat null as empty)
+            cols[f"n_{name}"] = pc.fill_null(
+                pc.cast(pc.count_substring_regex(col, pat), pa.int64()), 0
             )
             out = pc.replace_substring_regex(out, pat, token)
         cols[text_col] = out
@@ -326,7 +352,8 @@ def _line_hashes(flat: pa.Array) -> np.ndarray:
     fail the gate — probability ~2^-64 per pair). Slice-safe: offsets are
     read relative to the array's own offset."""
     n = len(flat)
-    raw_off = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    raw_off = np.frombuffer(flat.buffers()[1], dtype=off_dtype)
     off = raw_off[flat.offset : flat.offset + n + 1].astype(np.int64)
     data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
     starts, lens = off[:-1], np.diff(off)
@@ -478,6 +505,10 @@ def pack_offsets(
     document STARTS, which is what a packer needs to route documents to
     shards/workers.
 
+    ``order_col`` values must be UNIQUE (an id): the distributed sort has
+    no defined secondary order for ties, so duplicate keys would make the
+    packing order partition-dependent.
+
     A running sum is inherently sequential; distributed form: ONE sort by
     ``order_col`` (the only shuffle), a tiny per-block size-sum pass
     (O(blocks) scalars to the driver), then each block tags its rows with
@@ -542,9 +573,38 @@ def pack_offsets(
     )
 
 
+def _topk_per_run(code: np.ndarray, pr: np.ndarray, k: int) -> np.ndarray:
+    """Positions of the k smallest priorities within each code run
+    (negative codes excluded) — one lexsort + rank-within-run, no per-key
+    Python. Returns indices into the input arrays."""
+    order = np.lexsort((pr, code))
+    cs = code[order]
+    rank = np.arange(len(cs), dtype=np.int64)
+    starts = np.zeros(len(cs), dtype=bool)
+    if len(cs):
+        starts[0] = True
+        starts[1:] = cs[1:] != cs[:-1]
+    run_start = np.maximum.accumulate(np.where(starts, rank, 0))
+    return order[(rank - run_start < k) & (cs >= 0)]
+
+
+def _broadcast_keep(ds, win_ref, id_col: str):
+    """Filter a Dataset to rows whose id is in the broadcast sorted winner
+    array (the decontaminate semi-join shape)."""
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
+        want = ray.get(win_ref)
+        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(sorted_membership_mask(rid, want)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
 def _sample_priorities(ids: np.ndarray, salt: int) -> np.ndarray:
     with np.errstate(over="ignore"):
-        return splitmix64(ids.view(np.uint64) + np.uint64(salt))
+        return splitmix64(ids.view(np.uint64) + _salt64(salt))
 
 
 def hash_sample(
@@ -581,16 +641,7 @@ def hash_sample(
     ids = np.array([r["i"] for r in parts], dtype=np.int64)
     pr = np.array([r["p"] for r in parts], dtype=np.uint64)
     win = np.sort(ids[np.argsort(pr)[:k]])
-    win_ref = ray.put(win)
-
-    def keep_rows(batch: pa.Table) -> pa.Table:
-        from liken_ray.engine.components import sorted_membership_mask
-
-        want = ray.get(win_ref)
-        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(sorted_membership_mask(rid, want)))
-
-    return ds.map_batches(keep_rows, batch_format="pyarrow")
+    return _broadcast_keep(ds, ray.put(win), id_col)
 
 
 def stratified_sample(
@@ -622,15 +673,7 @@ def stratified_sample(
         valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
         # null keys: indices come back as float NaN — coerce to -1 (dropped)
         code = np.where(valid, np.nan_to_num(code, nan=-1), -1).astype(np.int64)
-        order = np.lexsort((pr, code))
-        cs, ps = code[order], pr[order]
-        rank = np.arange(len(cs), dtype=np.int64)
-        starts = np.zeros(len(cs), dtype=bool)
-        if len(cs):
-            starts[0] = True
-            starts[1:] = cs[1:] != cs[:-1]
-        run_start = np.maximum.accumulate(np.where(starts, rank, 0))
-        keep = order[(rank - run_start < k) & (cs >= 0)]
+        keep = _topk_per_run(code, pr, k)
         return pa.table(
             {
                 "i": pa.array(ids[keep], pa.int64()),
@@ -645,23 +688,8 @@ def stratified_sample(
     pr = np.array([r["p"] for r in parts], dtype=np.uint64)
     ids = np.array([r["i"] for r in parts], dtype=np.int64)
     keys = pa.array([r["key_"] for r in parts])
-    code = np.asarray(keys.dictionary_encode().indices.to_numpy(zero_copy_only=False))
-    order = np.lexsort((pr, code))
-    cs = code[order]
-    rank = np.arange(len(cs), dtype=np.int64)
-    starts = np.zeros(len(cs), dtype=bool)
-    if len(cs):
-        starts[0] = True
-        starts[1:] = cs[1:] != cs[:-1]
-    run_start = np.maximum.accumulate(np.where(starts, rank, 0))
-    win = np.sort(ids[order[(rank - run_start) < k]])
-    win_ref = ray.put(win)
-
-    def keep_rows(batch: pa.Table) -> pa.Table:
-        from liken_ray.engine.components import sorted_membership_mask
-
-        want = ray.get(win_ref)
-        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(sorted_membership_mask(rid, want)))
-
-    return ds.map_batches(keep_rows, batch_format="pyarrow")
+    code = np.asarray(
+        keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    win = np.sort(ids[_topk_per_run(code, pr, k)])
+    return _broadcast_keep(ds, ray.put(win), id_col)

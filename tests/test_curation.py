@@ -391,3 +391,74 @@ def test_stratified_sample_per_key_counts(ray_session):
                       "lang": pa.array(["x", "x", "y"], pa.string())})
     rows = stratified_sample(ray.data.from_arrow(small), key_col="lang", k=5).take_all()
     assert len(rows) == 3
+
+
+def test_hash_split_respects_buckets_param(ray_session):
+    """Thresholds must scale to the caller's bucket count (previously they
+    were always scaled to 10,000, so buckets=100 put every row in the
+    first split)."""
+    import ray.data
+
+    from liken_ray.extras.curation import hash_split
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000), pa.int64())})
+    rows = hash_split(
+        ray.data.from_arrow(t), {"a": 0.5, "b": 0.5}, buckets=100
+    ).take_all()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"a", "b"}, counts
+    assert abs(counts["a"] - 1000) < 150, counts
+
+
+def test_repetition_stats_large_string(ray_session):
+    """large_string text columns (int64 offsets) must hash lines correctly
+    — previously the offsets buffer was misread as int32 and identical
+    lines got different hashes."""
+    import ray.data
+
+    from liken_ray.extras.curation import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["dup\ndup\nuniq"], pa.large_string()),
+        }
+    )
+    (r,) = repetition_stats(ray.data.from_arrow(t)).take_all()
+    assert r["n_lines"] == 3 and r["n_distinct_lines"] == 2
+    assert r["dup_line_bytes"] == 3 and r["total_line_bytes"] == 10
+
+
+def test_decontaminate_n_mismatch_raises(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import contamination_index, decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["one two three four", "five six seven eight"]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    idx = contamination_index(ds, n=4)
+    with pytest.raises(Exception, match="n=3.*n=4|n=4"):
+        decontaminate(ds, idx, n=3).take_all()
+
+
+def test_negative_salt_and_null_pii_counts(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import hash_sample, hash_split, pii_scrub
+
+    t = pa.table({"doc_id": pa.array(np.arange(50), pa.int64()),
+                  "text": pa.array(["a@b.co"] * 49 + [None])})
+    # negative salts must not overflow
+    assert len(hash_split(ray.data.from_arrow(t), salt=-7).take_all()) == 50
+    assert len(hash_sample(ray.data.from_arrow(t), k=5, salt=-1).take_all()) == 5
+    # null text scrubs to null but counts zero
+    rows = {r["doc_id"]: r for r in pii_scrub(ray.data.from_arrow(t)).take_all()}
+    assert rows[49]["text"] is None and rows[49]["n_email"] == 0
+    assert rows[0]["n_email"] == 1

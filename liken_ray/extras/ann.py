@@ -23,6 +23,25 @@ import pyarrow as pa
 import ray
 
 
+def _vecs(col) -> np.ndarray:
+    """Embedding column -> (n, dim) float64 matrix, zero-copy from the
+    Arrow child buffer (``to_pylist`` paid a python object per element).
+    Slice-safe via ``flatten()``; ragged rows raise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if pa.types.is_fixed_size_list(col.type):
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(n, col.type.list_size).astype(np.float64, copy=False)
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    if len(lens) and (lens != lens[0]).any():
+        raise ValueError("ragged embedding column")
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    dim = int(lens[0]) if len(lens) else 0
+    return vals.reshape(n, dim).astype(np.float64, copy=False)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
@@ -48,7 +67,7 @@ def topk_cosine_bruteforce(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qmat, qids = ray.get(q_ref)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vecs(batch[vec_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if vecs.size == 0:
             return pa.table(
@@ -131,18 +150,17 @@ def topk_cosine_ivf(
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     probe_cells = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
-    wanted = set(probe_cells.reshape(-1).tolist())
+    wanted = np.unique(probe_cells.reshape(-1))
     w_ref = ray.put(wanted)
 
     def cell_filter(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
         want = ray.get(w_ref)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vecs(batch[vec_col])
         if vecs.size == 0:
             return batch.slice(0, 0)
         cells = np.argmax(_normalize(vecs) @ cents.T, axis=1)
-        mask = np.fromiter((int(c) in want for c in cells), dtype=bool, count=len(cells))
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(np.isin(cells, want)))
 
     probed = ds.map_batches(cell_filter, batch_format="pyarrow")
     return topk_cosine_bruteforce(probed, queries, query_ids, k, vec_col, id_col)
@@ -189,16 +207,33 @@ def kmeans_fit(
     Returns ``(centroids, info)`` with ``info["objective_history"]`` one
     mean-similarity entry per completed iteration.
     """
-    centroids = init if init is not None else _init_centroids(ds, n_cells, vec_col, seed)
+    # caller-supplied inits must be unit rows too: spherical assignment
+    # argmaxes the dot product, so an unnormalized centroid with a large
+    # norm would capture nearly every vector
+    centroids = (
+        _normalize(np.asarray(init, dtype=np.float64))
+        if init is not None
+        else _init_centroids(ds, n_cells, vec_col, seed)
+    )
     if centroids is None:
         raise ValueError(f"corpus too small to fit {n_cells} cells")
     dim = centroids.shape[1]
     history: list[float] = []
+    # the Lloyd loop re-reads ds once per iteration: cache it, and
+    # normalize tiny block counts so the passes parallelize (CLAUDE.md:
+    # normalize block counts before iterative Dataset loops)
+    ds = ds.materialize()
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = None
+    if nb is not None and nb < 8:
+        ds = ds.repartition(8).materialize()
 
     def partials_fn(c_ref):
         def partials(batch: pa.Table) -> pa.Table:
             cents = ray.get(c_ref)
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = _vecs(batch[vec_col])
             if vecs.size == 0:
                 return pa.table(
                     {
@@ -295,7 +330,7 @@ def build_ivf_index(
 
     def assign_cell(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = _vecs(batch[vec_col])
         if vecs.size == 0:
             return batch.append_column("cell", pa.array([], pa.int64()))
         cells = np.argmax(_normalize(vecs) @ cents.T, axis=1).astype(np.int64)

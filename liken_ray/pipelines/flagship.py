@@ -506,21 +506,26 @@ def caption_sketch_verify_kernel(
         return accept, borderline
 
     # 1) pair-decision memo first: a pair recurs in up to b bands, and a
-    # memo hit skips that pair's gram reconstruction entirely
+    # memo hit skips that pair's gram reconstruction entirely. RID-less
+    # callers (driver summary tables, pair-scope verify) guarantee
+    # distinct pairs — a memo can never hit, so skip the python key loop.
     keys: list[tuple] = []
-    miss_idx: list[int] = []
-    for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
-        ra, rb = int(rid_col[a]), int(rid_col[b])
-        key = (run_token, ra, rb) if ra < rb else (run_token, rb, ra)
-        prev = decided.get(key)
-        if prev is not None:
-            accept[i], borderline[i] = prev
-        else:
-            keys.append(key)
-            miss_idx.append(i)
-    if not miss_idx:
-        return accept, borderline
-    miss = np.asarray(miss_idx, dtype=np.int64)
+    if decided is _PAIR_DECISIONS:
+        miss_idx: list[int] = []
+        for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
+            ra, rb = int(rid_col[a]), int(rid_col[b])
+            key = (run_token, ra, rb) if ra < rb else (run_token, rb, ra)
+            prev = decided.get(key)
+            if prev is not None:
+                accept[i], borderline[i] = prev
+            else:
+                keys.append(key)
+                miss_idx.append(i)
+        if not miss_idx:
+            return accept, borderline
+        miss = np.asarray(miss_idx, dtype=np.int64)
+    else:
+        miss = np.arange(P, dtype=np.int64)
     msp, mdp = sp[miss], dp[miss]
 
     # 2) gram entries only for rows of unmemoized pairs
@@ -728,6 +733,7 @@ def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
         empty = ray.data.from_arrow(
             pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
         )
+        ckpt.record("caption_pack", sketch_pack_chunks=0, sketch_pack_max_bytes=0)
         return _finish(empty, 0, 0)
 
     # --- pack sketch payloads for candidate endpoints only ---------------
@@ -787,6 +793,12 @@ def _caption_edges_pair_verify(ds, cfg, ckpt: Checkpointer):
             metas.append(m_ref)
             payload_refs.append(p_ref)
     metas = [m for m in ray.get(metas) if m is not None]
+    if not metas:  # unreachable today (endpoints nonempty); keep verify safe
+        empty = ray.data.from_arrow(
+            pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        )
+        ckpt.record("caption_pack", sketch_pack_chunks=0, sketch_pack_max_bytes=0)
+        return _finish(empty, 0, 0)
     ckpt_stats = {
         "sketch_pack_chunks": len(payload_refs),
         "sketch_pack_max_bytes": max((m[2] for m in metas), default=0),
@@ -1064,9 +1076,9 @@ def _distinct_endpoints(edges_ds) -> np.ndarray:
         parts.append(np.fromiter(firsts, dtype=np.int64, count=len(firsts)))
     if not parts:
         return np.empty(0, dtype=np.int64)
-    out = np.concatenate(parts)
-    out.sort()
-    return out
+    # np.unique, not just sort: a rid run straddling a block boundary is
+    # interior in one block AND first in the next, so it appears twice
+    return np.unique(np.concatenate(parts))
 
 
 def _psnr_confirm_dataset(edges_ds, ds, cfg, source, stats: dict | None = None):

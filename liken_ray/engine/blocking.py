@@ -151,7 +151,8 @@ def _scan_block(
     batch = batch.take(pa.array(order, pa.int64()))
     rid = rid[order]
     keys = [k[order] for k in keys]
-    change = _run_boundaries(keys, n)
+    # `change` is still valid: the lexsort's primary key is run_ids, so
+    # rows only move WITHIN runs and boundary positions are unchanged
 
     starts = np.flatnonzero(change)
     lens = np.diff(np.append(starts, n))
@@ -181,6 +182,12 @@ def _scan_block(
     summary_tables = []
     boundary_runs = {0, len(starts) - 1}
     truncated = 0
+    # block tag rides in src (<= -3; -1/-2 stay free as sentinels): rids
+    # are globally unique and blocks partition rows, so the first rid
+    # identifies the block — the driver skips keyh groups whose rows all
+    # carry one tag (the run was confined to this block and its pairs
+    # were already emitted in-block)
+    block_tag = -3 - int(rid[0])
     for ri in boundary_runs:
         s = int(starts[ri])
         ln = min(int(lens[ri]), _SUMMARY_CAP)
@@ -190,7 +197,7 @@ def _scan_block(
         idx = np.arange(s, s + ln)
         summary_tables.append(
             build(
-                np.full(ln, -1, dtype=np.int64),
+                np.full(ln, block_tag, dtype=np.int64),
                 rid[idx],
                 np.full(ln, keyh, dtype=np.uint64),
                 summary_idx=idx,
@@ -287,9 +294,6 @@ def bucket_edges(
         is_summary = ~is_edge & ~is_telemetry & ~is_borderline
         if is_summary.any():
             summaries.extend(batch.filter(pa.array(is_summary)).to_pylist())
-    if stats is not None:
-        stats["summary_truncated"] = truncated_total
-        stats["borderline_pairs"] = borderline_pairs
     if edge_srcs:
         all_src = np.concatenate(edge_srcs)
         all_dst = np.concatenate(edge_dsts)
@@ -301,16 +305,26 @@ def bucket_edges(
     extra_src, extra_dst = _resolve_summaries(
         summaries, pair_cap, payload_cols, payload_types, verify_fn, borderline_pairs
     )
+    if stats is not None:
+        # after _resolve_summaries: it appends driver-resolved borderline
+        # pairs to the same list (correct by aliasing before, fragile)
+        stats["summary_truncated"] = truncated_total
+        stats["borderline_pairs"] = borderline_pairs
     if extra_src:
         es = np.asarray(extra_src, dtype=np.int64)
         ed = np.asarray(extra_dst, dtype=np.int64)
         lo = np.concatenate([lo, np.minimum(es, ed)])
         hi = np.concatenate([hi, np.maximum(es, ed)])
+    return dedupe_pairs(lo, hi)
+
+
+def dedupe_pairs(lo: np.ndarray, hi: np.ndarray) -> list[tuple[int, int]]:
+    """Distinct (lo, hi) pairs — vectorized (pack lo<<32|hi, np.unique)
+    when rids fit 32 bits so the driver's per-edge cost is numpy-bound;
+    python set only as the >2^32-rid fallback. Shared by bucket_edges and
+    flagship.collect_edges."""
     if not lo.size:
         return []
-    # dedupe with canonical orientation — vectorized (pack lo<<32|hi,
-    # np.unique) when rids fit 32 bits, so the driver's per-edge cost is
-    # numpy-bound; python set only as the >2^32-rid fallback
     if int(lo.min()) >= 0 and int(hi.max()) < 1 << 32:
         packed = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(np.uint64)
         uniq = np.unique(packed)
@@ -338,6 +352,13 @@ def _resolve_summaries(
     for row in summaries:
         by_key.setdefault(row["keyh"], []).append(row)
     for rows in by_key.values():
+        if len({r["src"] for r in rows}) < 2:
+            # all rows from ONE block: the run did not straddle a block
+            # boundary, its pairs were already emitted (and verified)
+            # in-block — re-resolving would duplicate driver work and
+            # apply the <=pair_cap all-pairs policy to runs the in-block
+            # scan intentionally handled as star+chain
+            continue
         rids_here = sorted({r["dst"] for r in rows})
         if len(rids_here) < 2:
             continue

@@ -283,13 +283,7 @@ def _sorted_min_by_key(ds, key: str, val: str):
         starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
         run_k = k[starts]
         run_v = v[starts]
-        bk = ray.get(b_ref)
-        if bk.size:
-            pos = np.searchsorted(bk, run_k)
-            safe = np.minimum(pos, len(bk) - 1)
-            keep = ~((pos < len(bk)) & (bk[safe] == run_k))
-        else:
-            keep = np.ones(len(run_k), dtype=bool)
+        keep = ~sorted_membership_mask(run_k, ray.get(b_ref))
         return pa.table({key: run_k[keep], val: run_v[keep]})
 
     out = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
@@ -526,13 +520,23 @@ def connected_components_distributed(edges_ds, max_rounds: int = 50, stats: dict
         small = not small
 
     if not converged and prev_large is not None:
-        # the loop bound can land right after a final small-star, skipping
-        # the check that only runs at large-star entry — run the closing
-        # signature comparison so a run that DID reach the star fixpoint on
-        # its last alternation is reported converged (no spurious warning)
-        _, _, n, sig = sorted_pass(cur)
-        if n == 0 or prev_large == (n, sig):
+        # closing check after the iteration bound. The loop always exits
+        # after a LARGE-star emit (the final iteration index is even), so
+        # sig(cur) == prev_large alone would only prove a large-star
+        # fixpoint — an edge set can be large-star-stable yet still merge
+        # under small-star (e.g. {(1,5),(2,5)}), and reporting that as
+        # converged ships under-merged labels with the warning suppressed.
+        # Mirror the loop's own criterion instead: apply one small-star to
+        # cur and require the full alternation to return to the entry set.
+        srt2, corr2, n2, sig2 = sorted_pass(cur)
+        if n2 == 0:
             converged = True
+        else:
+            nxt = srt2.map_batches(
+                make_emit(corr2, True), batch_format="pyarrow", batch_size=None
+            )
+            _, _, n3, sig3 = sorted_pass(nxt)
+            converged = n3 == 0 or prev_large == (n3, sig3)
 
     if stats is not None:
         stats["cc_rounds"] = rounds

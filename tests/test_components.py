@@ -122,3 +122,42 @@ def test_distributed_hot_pair_fills_blocks(ray_session):
     assert got == _nx_labels(edges)
     assert stats["cc_converged"]
     assert stats["cc_unique_edges"] == 4
+
+
+def test_cc_max_rounds_exhaustion_reports_unconverged(ray_session):
+    """A large-star-only fixpoint reached at the iteration bound must NOT
+    be reported converged: {(1,5),(2,5)} is stable under large-star but
+    small-star would merge 1 and 2 — the closing check must apply a
+    small-star before declaring a fixpoint (previously it compared only
+    the large output and shipped under-merged labels as 'converged')."""
+    import warnings
+
+    import pyarrow as pa
+    import ray.data
+
+    from liken_ray.engine.components import connected_components_distributed
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([5, 5], pa.int64())})
+    )
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components_distributed(edges, max_rounds=0, stats=stats)
+    assert stats["cc_converged"] is False
+    assert any("under-merged" in str(x.message) for x in w)
+
+    # a TRUE star fixpoint at the same bound stays converged (no warning)
+    stars = ray.data.from_arrow(
+        pa.table({"src": pa.array([1, 1], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    )
+    stats2: dict = {}
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out = connected_components_distributed(stars, max_rounds=0, stats=stats2)
+    assert stats2["cc_converged"] is True
+    assert not any("under-merged" in str(x.message) for x in w2)
+    labels = {r["node"]: r["label"] for r in out.take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1}

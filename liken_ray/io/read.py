@@ -23,6 +23,25 @@ def safe_read_parquet(path, **kwargs):
         return ray.data.read_parquet(path, **kwargs)
 
 
+def safe_write_parquet(ds, path: str, **kwargs) -> None:
+    """``ds.write_parquet`` for concurrent (threaded-stage) callers.
+
+    The same fsspec path-resolution race as reads fires inside
+    ``write_parquet``, but a write BLOCKS until the data is flushed, so
+    holding ``_read_lock`` for the whole call would serialize overlapping
+    stage writes. Instead, local paths pass an explicit pyarrow
+    ``LocalFileSystem`` so Ray skips fsspec resolution entirely; URI paths
+    (which do need resolution) fall back to creating under the lock.
+    """
+    if "://" not in str(path) and "filesystem" not in kwargs:
+        from pyarrow.fs import LocalFileSystem
+
+        ds.write_parquet(path, filesystem=LocalFileSystem(), **kwargs)
+        return
+    with _read_lock:
+        ds.write_parquet(path, **kwargs)
+
+
 def read_pairs(path: str, columns=None):
     """Read the image+caption pairs table (BASELINE input_hint).
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from typing import Any, Callable
 
@@ -43,9 +44,18 @@ class Checkpointer:
         path = self._manifest_path(name)
         if not os.path.exists(path):
             return False
-        with open(path) as f:
-            manifest = json.load(f)
-        return manifest.get("config_hash") == self.cfg_hash
+        try:
+            with open(path) as f:
+                manifest = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a crash mid-write leaves a truncated manifest: treat as
+            # not-done (recompute) instead of poisoning every resume
+            return False
+        if manifest.get("config_hash") != self.cfg_hash:
+            return False
+        # the manifest may have survived a later crash that removed the
+        # data; never return a reader over a missing directory
+        return os.path.isdir(os.path.join(self._stage_dir(name), "data"))
 
     def stage(self, name: str, compute: Callable[[str | None], Any], inputs: list[str] = []):
         """Run (or resume) a stage.
@@ -70,6 +80,17 @@ class Checkpointer:
             return safe_read_parquet(os.path.join(stage_dir, "data"))
 
         os.makedirs(stage_dir, exist_ok=True)
+        # recomputing (config changed / prior crash): clear stale output
+        # FIRST — Ray's write_parquet emits uniquely-named files per
+        # execution, so writing into a dirty dir would UNION old and new
+        # rows — and drop the stale manifest so a crash mid-recompute
+        # cannot resurrect it
+        mpath = self._manifest_path(name)
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        data_dir = os.path.join(stage_dir, "data")
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
         t0 = time.perf_counter()
         result = compute(stage_dir)
         wall = round(time.perf_counter() - t0, 3)
@@ -80,8 +101,10 @@ class Checkpointer:
             "wall_s": wall,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        with open(self._manifest_path(name), "w") as f:
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2)
+        os.replace(tmp, mpath)  # atomic: no truncated manifests
         self.record(name, wall_s=wall, resumed=False)
         return result
 

@@ -1623,7 +1623,13 @@ def run_flagship(
     cfg = dict(DEFAULT_CONFIG)
     if config:
         cfg.update(config)
-    ckpt = Checkpointer(run_dir, cfg)
+    # the INPUT is part of a checkpoint's identity: resuming a run_dir
+    # against a different source must invalidate, not silently return the
+    # old corpus's results. Datasets (no stable path) hash to a sentinel
+    # that still distinguishes them from any path string.
+    hash_cfg = dict(cfg)
+    hash_cfg["_source"] = source if isinstance(source, str) else "<dataset>"
+    ckpt = Checkpointer(run_dir, hash_cfg)
     # scope for the workers' process-global pair-decision memo. A per-run
     # uuid is REQUIRED for correctness: rids are positional, path contents
     # can be rewritten between runs, and a recycled Dataset id() could
@@ -1670,7 +1676,9 @@ def run_flagship(
 
                 data_dir = os.path.join(stage_dir, "data")
                 os.makedirs(data_dir, exist_ok=True)
-                edges_ds.write_parquet(data_dir)
+                from liken_ray.io.read import safe_write_parquet
+
+                safe_write_parquet(edges_ds, data_dir)
                 if not os.listdir(data_dir):  # empty edge set wrote no files
                     import pyarrow.parquet as pq
 
@@ -1773,9 +1781,11 @@ def run_flagship(
         if stage_dir is not None:
             import os
 
+            from liken_ray.io.read import safe_read_parquet, safe_write_parquet
+
             out = os.path.join(stage_dir, "data")
-            assignments.write_parquet(out)
-            return ray.data.read_parquet(out)
+            safe_write_parquet(assignments, out)
+            return safe_read_parquet(out)
         return assignments.materialize()
 
     result = ckpt.stage("assign", write_assignments, inputs=["components"])

@@ -4,8 +4,13 @@ Usage (cluster):
 
     ray job submit --working-dir . -- \
         python -m liken_ray.pipelines.run \
-        --input s3://bucket/pairs/ --output s3://bucket/clusters/ \
-        --run-dir s3://bucket/runs/run1 --lsh-threshold 0.7
+        --input s3://bucket/pairs/ --output /mnt/shared/clusters/ \
+        --run-dir /mnt/shared/runs/run1 --lsh-threshold 0.7
+
+``--input`` may be any Ray-readable URI; ``--output`` and ``--run-dir``
+must be filesystem paths visible to the driver (checkpoint manifests use
+local-fs semantics — an object-store URI would be silently created as a
+literal local directory, so it is rejected loudly).
 
 Usage (local sandbox):
 
@@ -72,7 +77,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.psnr_verify:
             overrides["psnr_verify"] = True
 
+        for name, path in (("--output", args.output), ("--run-dir", args.run_dir)):
+            if path and "://" in path:
+                raise SystemExit(
+                    f"{name} must be a filesystem path, got {path!r}: "
+                    "checkpoint manifests and the assignment writer use "
+                    "local-fs semantics (a URI would be created as a "
+                    "literal local directory named after the scheme)"
+                )
         result = run_flagship(args.input, overrides or None, run_dir=args.run_dir)
+        # Ray's write_parquet emits uniquely-named files per execution, so
+        # writing into a non-empty dir would UNION this run's rows with a
+        # previous run's — refuse instead of silently duplicating
+        if os.path.isdir(args.output) and os.listdir(args.output):
+            raise SystemExit(
+                f"--output {args.output!r} is not empty; refusing to mix "
+                "assignment files across runs — point --output at a fresh "
+                "directory or clear it first"
+            )
         os.makedirs(args.output, exist_ok=True)
         result["assignments"].write_parquet(args.output)
 

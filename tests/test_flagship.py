@@ -122,3 +122,63 @@ def test_flagship_distributed_components(ray_session, synth_dir):
     am = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in a}
     bm = {r["image_id"]: (r["cluster_id"], r["cluster_image_id"]) for r in b}
     assert am == bm
+
+
+def test_resume_invalidation_replaces_stale_stage_data(ray_session, synth_dir, tmp_path):
+    """Recomputing a stage after a config change must REPLACE its persisted
+    parquet, not union with it (Ray writes uniquely-named files per
+    execution), and a truncated manifest must mean 'recompute', not crash."""
+    import glob
+    import json
+
+    run_dir = str(tmp_path / "run")
+    src = os.path.join(synth_dir, "pairs")
+    r1 = run_flagship(src, {"lsh_threshold": 0.7}, run_dir=run_dir)
+    n1 = len(glob.glob(os.path.join(run_dir, "caption_edges", "data", "*.parquet")))
+    assert n1 > 0
+    rows1 = r1["assignments"].count()
+
+    # config change invalidates: stage data files are replaced, row counts
+    # match a fresh run in a clean dir
+    r2 = run_flagship(src, {"lsh_threshold": 0.9}, run_dir=run_dir)
+    clean = run_flagship(src, {"lsh_threshold": 0.9}, run_dir=str(tmp_path / "clean"))
+    a2 = sorted((r["image_id"], r["cluster_id"]) for r in r2["assignments"].take_all())
+    ac = sorted((r["image_id"], r["cluster_id"]) for r in clean["assignments"].take_all())
+    assert a2 == ac
+    assert rows1 == r2["assignments"].count()
+
+    # truncated manifest: resume recomputes instead of crashing
+    mpath = os.path.join(run_dir, "caption_edges", "manifest.json")
+    with open(mpath, "w") as f:
+        f.write('{"stage": "caption_edges", "config_')  # crash mid-write
+    r3 = run_flagship(src, {"lsh_threshold": 0.9}, run_dir=run_dir)
+    assert not r3["metrics"]["stages"]["caption_edges"].get("resumed", False)
+    with open(mpath) as f:
+        assert json.load(f)["config_hash"]  # rewritten atomically
+
+
+def test_resume_keyed_on_input_path(ray_session, tmp_path):
+    """Resuming a run_dir against a DIFFERENT input must invalidate every
+    stage — previously the source was not part of the checkpoint identity
+    and the old corpus's results were returned silently."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    write_pairs_dataset(a, n_rows=300, seed=1, shards=2)
+    write_pairs_dataset(b, n_rows=500, seed=2, shards=2)
+    run_dir = str(tmp_path / "run")
+    ra = run_flagship(os.path.join(a, "pairs"), run_dir=run_dir)
+    assert ra["rows"] == 300
+    rb = run_flagship(os.path.join(b, "pairs"), run_dir=run_dir)
+    assert rb["rows"] == 500
+    assert rb["assignments"].count() == 500
+    assert not rb["metrics"]["stages"]["caption_edges"].get("resumed", False)
+
+
+def test_write_pairs_dataset_clears_stale_shards(tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "c")
+    write_pairs_dataset(out, n_rows=400, seed=3, shards=8)
+    write_pairs_dataset(out, n_rows=400, seed=3, shards=2)
+    total = pq.read_table(os.path.join(out, "pairs")).num_rows
+    assert total == 400

@@ -692,6 +692,68 @@ def _stratified_sample_documents(sf_dir: str):
     return stratified_sample(_read(sf_dir, "documents"), key_col="lang", k=20)
 
 
+def _semdedup_embeddings(sf_dir: str):
+    """SemDeDup (k-means cells + exact intra-cell cosine scan) with a
+    fully SQL-replicable config: centroids pinned to the embeddings of
+    the 8 smallest vec_ids, cell = argmax cosine (first index wins ties),
+    dup = some same-cell row with smaller vec_id and cosine > 0.3. The
+    testdata blobs put ~1% of pairs above 0.3, so the oracle checks real
+    positives through the assignment AND the tiled scan. The production
+    path (centroids from the distributed k-means) is covered by pytest."""
+    from liken_ray.extras.semdedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    crows = sorted(
+        (r for r in ds.take(200) if r["vec_id"] < 8), key=lambda r: r["vec_id"]
+    )
+    cents = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    return semdedup(ds, eps=0.3, centroids=cents)
+
+
+def _asof_join_events(sf_dir: str):
+    """Previous-click as-of join: every event joined to the latest
+    strictly-earlier click of the same user (sort-merge LOCF with the
+    O(blocks) carry chain). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from liken_ray.extras.joins import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "click"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "click_ts": t["ts"],
+                "click_id": t["event_id"],
+            }
+        )
+
+    right = ev.map_batches(clicks, batch_format="pyarrow")
+    return asof_join(
+        ev, right, on="ts", by="user_id",
+        right_cols=["click_id", "click_ts"], strict=True,
+    )
+
+
+def _cross_corpus_dedup_documents(sf_dir: str):
+    """Cross-corpus exact dedup: drop documents whose text appears in the
+    reference slice (doc_id % 5 == 0). m_bits is deliberately small so the
+    Bloom prefilter produces real false positives that the exact-confirm
+    sort-merge must reject — the oracle is the exact NOT EXISTS anti-join,
+    so any surviving FP (or missed dup) fails the hash gate."""
+    from liken_ray.extras.curation import cross_corpus_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_slice(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % 5 == 0))
+
+    ref = docs.map_batches(ref_slice, batch_format="pyarrow")
+    return cross_corpus_dedup(docs, ref, m_bits=2048, k_hashes=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup_documents": _exact_dedup_documents,
@@ -734,6 +796,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets_documents": _pack_offsets_documents,
         "hash_sample_documents": _hash_sample_documents,
         "stratified_sample_documents": _stratified_sample_documents,
+        "semdedup_embeddings": _semdedup_embeddings,
+        "asof_join_events": _asof_join_events,
+        "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
     }
 
 
@@ -1150,4 +1215,33 @@ def oracle_sql() -> dict[str, str]:
         "pack_offsets_documents": _PACK_OFFSETS_SQL,
         "hash_sample_documents": _hash_sample_sql(),
         "stratified_sample_documents": _stratified_sample_sql(),
+        # SemDeDup with pinned centroids (embeddings of the 8 smallest
+        # vec_ids). CASTs to DOUBLE[] keep the SQL cosine in float64 like
+        # the engine (embedding is FLOAT[]; a float32 cosine could flip a
+        # borderline > 0.3 decision). Ties in the argmax break to the
+        # smaller cell index (engine: np.argmax takes the first maximum).
+        "semdedup_embeddings": (
+            "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+            "ORDER BY vec_id LIMIT 8), "
+            "a AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, "
+            "(SELECT c.cell FROM c "
+            "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) "
+            "DESC, c.cell LIMIT 1) AS cell FROM embeddings e) "
+            "SELECT a.vec_id, a.cell, EXISTS (SELECT 1 FROM a b "
+            "WHERE b.cell = a.cell AND b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.v, b.v) > 0.3) AS is_dup FROM a"
+        ),
+        "asof_join_events": (
+            "SELECT l.event_id, l.ts, l.user_id, l.event_type, "
+            "r.click_id, r.click_ts FROM events l ASOF LEFT JOIN "
+            "(SELECT user_id, ts AS click_ts, event_id AS click_id "
+            "FROM events WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts > r.click_ts"
+        ),
+        "cross_corpus_dedup_documents": (
+            "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 "
+            "AND coalesce(r.text, '') = coalesce(d.text, ''))"
+        ),
     }

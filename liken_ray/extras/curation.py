@@ -693,3 +693,202 @@ def stratified_sample(
     ).astype(np.int64)
     win = np.sort(ids[_topk_per_run(code, pr, k)])
     return _broadcast_keep(ds, ray.put(win), id_col)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus exact dedup with a Bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(k_hashes, n) bit positions for 64-bit keys — k independent
+    splitmix64 draws, masked to the power-of-two table (no division)."""
+    out = np.empty((k_hashes, len(h)), dtype=np.uint64)
+    mask = np.uint64(m_bits - 1)
+    with np.errstate(over="ignore"):
+        for j in range(k_hashes):
+            out[j] = splitmix64(h ^ _salt64(101 + j)) & mask
+    return out
+
+
+def _text_hashes(col) -> np.ndarray:
+    """64-bit hash of every string in a column; null hashes like ''
+    (the module's null convention — SQL twin: ``coalesce(text, '')``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _line_hashes(pc.fill_null(col, ""))
+
+
+def bloom_build(
+    ref_ds, text_col: str = "text", m_bits: int = 1 << 20, k_hashes: int = 2
+) -> np.ndarray:
+    """Bloom filter over a corpus's (hashed) texts as a packed uint64
+    bitmap. Per-block bitmaps stream back and the driver ORs them —
+    O(m_bits/8) driver memory, O(blocks x m_bits/8) network. On a real
+    cluster with many blocks, swap the driver OR for a tree reduce of
+    ``ray.remote`` OR tasks; the per-block kernel is unchanged."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    words = m_bits // 64
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(words, dtype=np.uint64)
+        h = _text_hashes(batch[text_col])
+        idx = _bloom_positions(h, m_bits, k_hashes).reshape(-1)
+        np.bitwise_or.at(
+            bm, (idx >> np.uint64(6)).astype(np.int64), np.uint64(1) << (idx & np.uint64(63))
+        )
+        return pa.table({"bm": pa.array([bm], pa.list_(pa.uint64()))})
+
+    bloom = np.zeros(words, dtype=np.uint64)
+    parts = ref_ds.map_batches(block_bloom, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        col = b["bm"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64).reshape(-1, words)
+        bloom |= np.bitwise_or.reduce(flat, axis=0)
+    return bloom
+
+
+def cross_corpus_dedup(
+    ds,
+    ref_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 2,
+):
+    """Drop rows of ``ds`` whose ``text_col`` appears (exactly) in
+    ``ref_ds`` — the "have we already trained on this?" operator, EXACT
+    anti-join semantics at Bloom cost.
+
+    Why not ``decontaminate``-style broadcast: the reference corpus at
+    100 TB does not fit a broadcast. Why not a plain distributed
+    anti-join: it would shuffle |ds| + |ref| rows. The Bloom filter
+    prunes the shuffle to |ref| + |bloom hits| hashes:
+
+      1. Build a bitmap over ref's text hashes (``bloom_build``),
+         broadcast it once via ``ray.put``.
+      2. One streaming pass over ``ds``: bloom MISSES are definitely
+         novel and never shuffle (at a sane ``m_bits`` that is almost
+         every unique row). Hits — true dups plus the filter's false
+         positives — are CANDIDATES.
+      3. Exact confirm of the candidates: union (ref hashes, candidate
+         hashes) sorted by (hash, side) — ref rows sort first within a
+         run, so a candidate is a true dup iff a ref row appears earlier
+         in its hash run. Per-block segmented check; runs straddling
+         block boundaries are resolved by an O(blocks) has-ref carry
+         chain on the driver (the sort-scan stitch idiom).
+      4. Confirmed dup ids broadcast as a sorted array; one filter pass
+         keeps misses and unconfirmed candidates. (Dup volume bounds the
+         broadcast; for extreme dup fractions swap step 4 for the
+         flagship's distributed sort-merge relabel.)
+
+    Equality is by 64-bit text hash (collision ~2^-64 per pair, same
+    convention as ``repetition_stats``; the DuckDB oracle compares the
+    strings themselves so a collision would fail the gate). Null text
+    equals the empty string on both sides.
+    """
+    bloom = bloom_build(ref_ds, text_col, m_bits=m_bits, k_hashes=k_hashes)
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        h = _text_hashes(batch[text_col])
+        bm = ray.get(bloom_ref)
+        idx = _bloom_positions(h, m_bits, k_hashes)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k_hashes):
+            w = bm[(idx[j] >> np.uint64(6)).astype(np.int64)]
+            hit &= (w >> (idx[j] & np.uint64(63))) & np.uint64(1) != 0
+        return batch.append_column("_xc_h", pa.array(h, pa.uint64())).append_column(
+            "_xc_hit", pa.array(hit)
+        )
+
+    tagged = ds.map_batches(probe, batch_format="pyarrow").materialize()
+    cand = tagged.map_batches(
+        lambda t: t.filter(t["_xc_hit"]), batch_format="pyarrow"
+    )
+    if cand.count() == 0:
+        return tagged.drop_columns(["_xc_h", "_xc_hit"])
+
+    def ref_part(batch: pa.Table) -> pa.Table:
+        h = np.unique(_text_hashes(batch[text_col]))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "side": pa.array(np.zeros(len(h), dtype=np.int8)),
+                "cid": pa.array(np.full(len(h), -1, dtype=np.int64)),
+            }
+        )
+
+    def cand_part(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": batch["_xc_h"],
+                "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+                "cid": batch[id_col].cast(pa.int64()),
+            }
+        )
+
+    unioned = ref_ds.map_batches(ref_part, batch_format="pyarrow").union(
+        cand.map_batches(cand_part, batch_format="pyarrow")
+    )
+    srt = unioned.sort(["h", "side"]).materialize()
+    refs = [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+
+    @ray.remote
+    def confirm(block, prev_h: int | None, prev_carry: bool):
+        """Confirmed-dup candidate ids in this block, plus the chain state
+        for the next block: (last h, does the last run contain a ref row).
+        A carry from the previous block applies only if its last hash run
+        continues into this block (``h[0] == prev_h``)."""
+        from ray.data.block import BlockAccessor
+
+        t = BlockAccessor.for_block(block).to_arrow()
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = len(h)
+        change = np.ones(n, dtype=bool)
+        change[1:] = h[1:] != h[:-1]
+        seg = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(change, pos, 0))
+        # ref rows sort first in a run: candidate confirmed iff a ref row
+        # exists EARLIER in its run (or carried in from the previous block)
+        last_ref = np.maximum.accumulate(np.where(side == 0, pos, -1))
+        seen_ref = last_ref >= run_start
+        if prev_carry and prev_h is not None and int(h[0]) == prev_h:
+            seen_ref |= seg == 0
+        dup_ids = t["cid"].to_numpy(zero_copy_only=False)[(side == 1) & seen_ref]
+        # seen_ref[-1] includes the last row itself when it IS a ref row
+        return np.asarray(dup_ids, dtype=np.int64), int(h[-1]), bool(seen_ref[-1])
+
+    # chain pass: blocks are globally sorted by hash, so the has-ref carry
+    # for a run spanning blocks flows strictly left to right — O(blocks)
+    # sequential ray.get, each task O(block)
+    dup_parts: list[np.ndarray] = []
+    prev_h: int | None = None
+    prev_carry = False
+    for r in refs:
+        dups, prev_h, prev_carry = ray.get(confirm.remote(r, prev_h, prev_carry))
+        dup_parts.append(dups)
+    dup_ids = (
+        np.unique(np.concatenate(dup_parts)) if dup_parts else np.empty(0, np.int64)
+    )
+
+    win_ref = ray.put(dup_ids)
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        from liken_ray.engine.components import sorted_membership_mask
+
+        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        drop = sorted_membership_mask(rid, ray.get(win_ref))
+        return batch.filter(pa.array(~drop)).drop_columns(["_xc_h", "_xc_hit"])
+
+    return tagged.map_batches(keep_rows, batch_format="pyarrow")

@@ -1,0 +1,250 @@
+"""Distributed as-of join (nearest-earlier-event join) for Ray Datasets.
+
+Ray Data has no as-of/range join; a generic ``Dataset.join`` can't express
+"latest right row with ts <= left.ts per key" without an explosion. This
+module implements it with the repo's established sort-scan shape (see
+``engine/executor.synthesize_ray`` / ``extras/curation.pack_offsets``):
+
+  1. ONE union + sort by ``(by, on, side)`` — the only shuffle. Left rows
+     carry their payload through the sort (the standard sort-merge-join
+     cost); right rows carry only the joined columns.
+  2. A per-block summary pass: O(blocks) scalars to the driver — each
+     block reports its first/last key and the last-seen right payload of
+     its final key run.
+  3. The driver chains carries across blocks in sorted order (O(blocks)),
+     then one independent Ray task per block finalizes every left row via
+     a vectorized segmented last-observation-carried-forward scan.
+
+Nothing but O(blocks) summaries ever reaches the driver, and the carried
+payload per block boundary is ONE row — the idiom scales to any number of
+rows per key.
+
+Semantics notes:
+- ``strict=True`` joins each left row to the latest right row with
+  ``right.on <  left.on`` (the "previous event" form);
+  ``strict=False`` uses ``<=`` (DuckDB's default ASOF inequality).
+- Right rows must be unique per ``(by, on)``: the distributed sort has no
+  defined order for ties, so duplicate right timestamps would make the
+  match partition-dependent (same uniqueness contract as
+  ``pack_offsets``). Pre-aggregate the right side if needed.
+- Left rows with no earlier right row get nulls in the joined columns
+  (LEFT-join semantics).
+
+No analogue in the reference repo (/root/reference) — this is part of the
+BASELINE gap list (SURVEY.md §2.7 "custom operators Ray Data lacks").
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.block import BlockAccessor
+
+__all__ = ["asof_join"]
+
+
+def _key_change(vals: np.ndarray, nullm: np.ndarray) -> np.ndarray:
+    """Boolean run-starts mask for a sorted key column (nulls contiguous)."""
+    n = len(vals)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        with np.errstate(invalid="ignore"):
+            change[1:] = (vals[1:] != vals[:-1]) & ~(nullm[1:] & nullm[:-1])
+    return change
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    strict: bool = False,
+    suffix: str = "_r",
+):
+    """As-of join ``left`` against ``right`` on time column ``on`` within
+    key column ``by``; carries ``right_cols`` from the matched right row.
+
+    Returns a Dataset with every left row plus the ``right_cols`` of the
+    latest right row satisfying ``right.on < left.on`` (``strict``) or
+    ``<= left.on``; null where no right row qualifies. A carried column
+    whose name collides with a left column is emitted as ``name+suffix``.
+    """
+    left = _to_arrow_blocks(left)
+    right = _to_arrow_blocks(right)
+    left_names = list(left.schema().names)
+    for c in (on, by):
+        if c not in left_names:
+            raise ValueError(f"left side lacks column {c!r}")
+    right_schema = _schema(right)
+    for c in [on, by, *right_cols]:
+        if c not in right_schema.names:
+            raise ValueError(f"right side lacks column {c!r}")
+    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
+    if len(set(out_map.values())) != len(out_map):
+        raise ValueError(f"carried column names collide after suffixing: {out_map}")
+
+    left_schema = _schema(left)
+    carry_types = {out_map[c]: right_schema.field(c).type for c in right_cols}
+    left_only = [c for c in left_names if c not in (by, on)]
+    # left rows sort BEFORE right rows at equal `on` for strict (the right
+    # row at the same instant must stay invisible), AFTER for inclusive
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, Any] = {
+            by: batch[by],
+            on: batch[on],
+            "_aj_tag": pa.array(np.full(n, l_tag, dtype=np.int8)),
+            "_aj_left": pa.array(np.ones(n, dtype=bool)),
+        }
+        for c in left_only:
+            cols[c] = batch[c]
+        for oc, typ in carry_types.items():
+            cols[oc] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            by: batch[by].cast(left_schema.field(by).type),
+            on: batch[on].cast(left_schema.field(on).type),
+            "_aj_tag": pa.array(np.full(n, r_tag, dtype=np.int8)),
+            "_aj_left": pa.array(np.zeros(n, dtype=bool)),
+        }
+        for c in left_only:
+            cols[c] = pa.nulls(n, left_schema.field(c).type)
+        for c in right_cols:
+            cols[out_map[c]] = batch[c]
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    srt = unioned.sort([by, on, "_aj_tag"]).materialize()
+
+    # Ray's sort emits one EMPTY-schema block for empty input — skip
+    # zero-row blocks before the per-block kernels (CLAUDE.md)
+    refs = [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    out_names = left_names + list(out_map.values())
+    if not refs:
+        empty = pa.schema(
+            [left_schema.field(c) for c in left_names]
+            + [pa.field(oc, t) for oc, t in carry_types.items()]
+        )
+        return ray.data.from_arrow(empty.empty_table())
+
+    carry_cols = list(out_map.values())
+
+    @ray.remote
+    def summarize(block) -> dict:
+        t = BlockAccessor.for_block(block).to_arrow()
+        key = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) else t[by]
+        vals = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        change = _key_change(vals, nullm)
+        starts = np.flatnonzero(change)
+        last_start = int(starts[-1])
+        is_right = np.flatnonzero(
+            ~t["_aj_left"].to_numpy(zero_copy_only=False)[last_start:]
+        )
+        tail = None
+        if len(is_right):
+            pos = last_start + int(is_right[-1])
+            tail = {c: t[c][pos].as_py() for c in carry_cols}
+        return {
+            "first_key": key[0].as_py(),
+            "last_key": key[-1].as_py(),
+            "tail": tail,
+        }
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    # chain carries in sorted block order: carry_in[i] = the last right
+    # payload seen for the key block i STARTS with, from earlier blocks
+    carry_in: list[dict | None] = []
+    cur_key: Any = object()  # sentinel unequal to every real key
+    cur_payload: dict | None = None
+    for s in summaries:
+        same_start = s["first_key"] == cur_key or (
+            s["first_key"] is None and cur_key is None
+        )
+        carry_in.append(cur_payload if same_start else None)
+        same_end = same_start and s["first_key"] == s["last_key"] or (
+            same_start and s["first_key"] is None and s["last_key"] is None
+        )
+        if same_end:
+            if s["tail"] is not None:
+                cur_payload = s["tail"]
+        else:
+            cur_key = s["last_key"]
+            cur_payload = s["tail"]
+
+    @ray.remote
+    def finalize(block, carry: dict | None):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        key = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) else t[by]
+        vals = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        change = _key_change(vals, nullm)
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        run_start = starts[seg]
+        is_left = t["_aj_left"].to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        lastr = np.maximum.accumulate(np.where(~is_left, pos, -1))
+        match = np.where(lastr >= run_start, lastr, -1)
+        sel = np.flatnonzero(is_left)
+        m = match[sel]
+        has = m >= 0
+        from_carry = ~has & (seg[sel] == 0) if carry is not None else np.zeros(
+            len(sel), dtype=bool
+        )
+        cols: dict[str, Any] = {}
+        for c in left_names:
+            col = t[c]
+            cols[c] = col.take(pa.array(sel, pa.int64()))
+        take_idx = pa.array(np.where(has, m, 0), pa.int64())
+        for oc in carry_cols:
+            col = t[oc]
+            arr = col.take(take_idx)
+            if not has.all():
+                arr = pc.if_else(
+                    pa.array(has), arr, pa.scalar(None, type=carry_types[oc])
+                )
+            if from_carry.any():
+                arr = pc.if_else(
+                    pa.array(from_carry),
+                    pa.scalar(carry[oc], type=carry_types[oc]),
+                    arr,
+                )
+            cols[oc] = arr
+        return pa.table({c: cols[c] for c in out_names})
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
+    )
+
+
+def _schema(ds) -> pa.Schema:
+    sch = ds.schema()
+    return getattr(sch, "base_schema", sch)
+
+
+def _to_arrow_blocks(ds):
+    """Coerce a pandas-block Dataset (e.g. ``from_pandas``) to arrow blocks
+    so schema introspection yields a ``pyarrow.Schema``."""
+    if isinstance(_schema(ds), pa.Schema):
+        return ds
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")

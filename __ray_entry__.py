@@ -692,6 +692,19 @@ def _stratified_sample_documents(sf_dir: str):
     return stratified_sample(_read(sf_dir, "documents"), key_col="lang", k=20)
 
 
+def _corpus_ngram_counts_documents(sf_dir: str):
+    """Corpus-wide bigram vocabulary (cnt >= 3 with document frequency):
+    per-batch partial combine -> ONE sort by gram hash -> per-block
+    segmented sums with the O(blocks) edge-run stitch. The oracle groups
+    the exploded gram STRINGS, checking the hash path against exact
+    semantics."""
+    from liken_ray.extras.curation import corpus_ngram_counts
+
+    return corpus_ngram_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=2, min_count=3
+    )
+
+
 def _semdedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + exact intra-cell cosine scan) with a
     fully SQL-replicable config: centroids pinned to the embeddings of
@@ -799,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "asof_join_events": _asof_join_events,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
+        "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
     }
 
 
@@ -1243,5 +1257,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("
             "SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 "
             "AND coalesce(r.text, '') = coalesce(d.text, ''))"
+        ),
+        # corpus bigram vocabulary over gram STRINGS (the engine groups by
+        # the 64-bit gram hash; a collision would fail this gate). norm CTE
+        # is the shared whitespace normalization of the top_ngram oracle.
+        "corpus_ngram_counts_documents": (
+            "WITH norm AS (SELECT doc_id, string_split(regexp_replace("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+', ' ', 'g'), ' ') AS toks FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS gram "
+            "FROM norm WHERE len(toks) >= 2 AND toks[1] <> '') "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM grams GROUP BY gram HAVING count(*) >= 3"
         ),
     }

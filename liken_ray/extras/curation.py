@@ -144,7 +144,7 @@ def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def gram_hashes(
-    texts: list, n: int, return_lengths: bool = False
+    texts: list, n: int, return_lengths: bool = False, return_spans: bool = False
 ):
     """Whitespace-token ``n``-gram hashes for every row, fully vectorized
     after normalization. Returns ``(hashes, row_offsets)``: row ``r``'s
@@ -152,12 +152,18 @@ def gram_hashes(
     than ``n`` tokens (incl. null/empty) contribute zero grams. With
     ``return_lengths`` a third array gives each gram's byte length (tokens
     plus the joining spaces — exactly ``strlen(gram)`` of the SQL replica).
+    With ``return_spans`` the return is ``(hashes, row_offsets, s, e,
+    buf)``: gram ``i``'s bytes are ``buf[s[i]:e[i]]`` (global coordinates
+    into the concatenated normalized buffer) — what a caller needs to
+    materialize gram STRINGS without per-gram Python.
 
     A gram IS a substring of the normalized text (tokens joined by single
     spaces), so gram hashes are windowed polynomial hashes over one
     concatenated byte buffer — no per-gram Python."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if return_lengths and return_spans:
+        raise ValueError("return_lengths and return_spans are exclusive")
     nrows = len(texts)
     encs = _normalize_texts(texts)
     lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=nrows)
@@ -165,9 +171,12 @@ def gram_hashes(
     np.cumsum(lens, out=offsets[1:])
     total = int(offsets[-1])
     row_off = np.zeros(nrows + 1, dtype=np.int64)
-    empty = (np.empty(0, dtype=np.uint64), row_off, np.empty(0, dtype=np.int64))
+    zi = np.empty(0, dtype=np.int64)
+    empty = (np.empty(0, dtype=np.uint64), row_off, zi)
+    if return_spans:
+        empty = (*empty[:2], zi, zi, np.empty(0, dtype=np.uint8))
     if total == 0:
-        return empty if return_lengths else empty[:2]
+        return empty if (return_lengths or return_spans) else empty[:2]
 
     buf = np.frombuffer(b"".join(encs), dtype=np.uint8)
     space = np.flatnonzero(buf == 0x20)
@@ -185,7 +194,7 @@ def gram_hashes(
     np.cumsum(gram_counts, out=row_off[1:])
     ngrams = int(row_off[-1])
     if ngrams == 0:
-        return empty if return_lengths else empty[:2]
+        return empty if (return_lengths or return_spans) else empty[:2]
 
     # per-row-position weighted prefix sums (the fingerprint kernel's
     # pattern), then window extraction at token boundaries
@@ -211,6 +220,8 @@ def gram_hashes(
         h ^= h >> np.uint64(29)
     if return_lengths:
         return h, row_off, e - s
+    if return_spans:
+        return h, row_off, s, e, buf
     return h, row_off
 
 
@@ -892,3 +903,166 @@ def cross_corpus_dedup(
         return batch.filter(pa.array(~drop)).drop_columns(["_xc_h", "_xc_hit"])
 
     return tagged.map_batches(keep_rows, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level n-gram statistics (vocabulary / document-frequency table)
+# ---------------------------------------------------------------------------
+
+
+def _gram_strings(buf: np.ndarray, s: np.ndarray, e: np.ndarray) -> pa.Array:
+    """Materialize gram byte spans as ONE pyarrow string array: a single
+    fancy-index gather + from_buffers — no per-gram Python. Spans are
+    token-aligned in the normalized utf8 buffer, so slicing is
+    codepoint-safe."""
+    lens = (e - s).astype(np.int64)
+    out_off = np.zeros(len(s) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    take = np.repeat(s, lens) + (
+        np.arange(int(out_off[-1]), dtype=np.int64) - np.repeat(out_off[:-1], lens)
+    )
+    data = buf[take] if len(take) else np.empty(0, dtype=np.uint8)
+    return pa.Array.from_buffers(
+        pa.large_utf8(),
+        len(s),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def corpus_ngram_counts(
+    ds,
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+):
+    """Corpus-wide n-gram vocabulary table: ``(gram, cnt, df)`` for every
+    whitespace-token n-gram with total occurrence count >= ``min_count``
+    (``df`` = number of documents containing it — the IDF/CCNet building
+    block).
+
+    Gram cardinality is corpus-sized, so this is exactly the shape the
+    repo's perf law forbids ``groupby().aggregate()`` for. Instead:
+
+      1. Per-batch partial combine (lexsort + run scans): each batch emits
+         one row per DISTINCT gram — (hash, cnt, df, gram string) — so the
+         shuffle carries combiner output, not raw grams. df partials sum
+         cleanly because a document lives in exactly one batch.
+      2. ONE global sort by hash (the only shuffle).
+      3. Per-block segmented sums; a block's interior runs are final,
+         its first/last runs (the only ones that can straddle a block
+         boundary) go to the driver — O(blocks) rows — and are merged
+         there (the ``synthesize_ray`` stitch shape).
+
+    Equality is by the 64-bit gram hash (collision ~2^-64 per pair; the
+    DuckDB oracle groups by the gram STRINGS, so a collision would fail
+    the gate). Gram strings ride along as ONE representative per distinct
+    hash per batch."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        h, row_off, s, e, buf = gram_hashes(
+            batch[text_col].to_pylist(), n, return_spans=True
+        )
+        nrows = batch.num_rows
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.large_utf8()),
+                }
+            )
+        row_rep = np.repeat(
+            np.arange(nrows, dtype=np.int64), np.diff(row_off).astype(np.int64)
+        )
+        order = np.lexsort((row_rep, h))
+        hs, rs = h[order], row_rep[order]
+        new_h = np.ones(len(hs), dtype=bool)
+        new_h[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new_h)
+        ends = np.r_[starts[1:], len(hs)]
+        cnt = ends - starts
+        new_doc = new_h.copy()
+        new_doc[1:] |= rs[1:] != rs[:-1]
+        csum = np.zeros(len(hs) + 1, dtype=np.int64)
+        np.cumsum(new_doc, out=csum[1:])
+        df = csum[ends] - csum[starts]
+        first = order[starts]
+        return pa.table(
+            {
+                "h": pa.array(hs[starts], pa.uint64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "gram": _gram_strings(buf, s[first], e[first]),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    srt = parts.sort("h").materialize()
+
+    def seg_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.large_utf8()),
+                    "cnt": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                    "_h": pa.array([], pa.uint64()),
+                }
+            )
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new_h = np.ones(len(h), dtype=bool)
+        new_h[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_h)
+        ends = np.r_[starts[1:], len(h)]
+        ccs = np.zeros(len(h) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=ccs[1:])
+        dcs = np.zeros(len(h) + 1, dtype=np.int64)
+        np.cumsum(df, out=dcs[1:])
+        gram = t["gram"]
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                "gram": gram.take(pa.array(starts, pa.int64())),
+                "cnt": pa.array(ccs[ends] - ccs[starts], pa.int64()),
+                "df": pa.array(dcs[ends] - dcs[starts], pa.int64()),
+                "_edge": pa.array(edge),
+                "_h": pa.array(h[starts], pa.uint64()),
+            }
+        )
+
+    blocks = srt.map_batches(seg_sum, batch_format="pyarrow", batch_size=None)
+    blocks = blocks.materialize()
+    inner = blocks.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.invert(t["_edge"]), pc.greater_equal(t["cnt"], min_count))
+        ).drop_columns(["_edge", "_h"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
+    ).take_all()
+    merged: dict[int, dict] = {}
+    for r in sorted(edge_rows, key=lambda r: r["_h"]):
+        cur = merged.setdefault(r["_h"], {"gram": r["gram"], "cnt": 0, "df": 0})
+        cur["cnt"] += r["cnt"]
+        cur["df"] += r["df"]
+    keep = [v for v in merged.values() if v["cnt"] >= min_count]
+    stitched = pa.table(
+        {
+            "gram": pa.array([v["gram"] for v in keep], pa.large_utf8()),
+            "cnt": pa.array([v["cnt"] for v in keep], pa.int64()),
+            "df": pa.array([v["df"] for v in keep], pa.int64()),
+        }
+    )
+    return inner.union(ray.data.from_arrow(stitched))

@@ -238,3 +238,63 @@ def test_cross_corpus_dedup_no_hits_short_circuits(ray_session):
     rows = kept.take_all()
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
     assert set(kept.schema().names) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# corpus_ngram_counts
+# ---------------------------------------------------------------------------
+
+
+def _ngram_reference(texts, n, min_count):
+    import re
+
+    agg: dict[str, list] = {}
+    for doc, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", (t or "").strip()).split(" ")
+        if toks == [""] or len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            cur = agg.setdefault(g, [0, set()])
+            cur[0] += 1
+            cur[1].add(doc)
+    return {
+        g: (c, len(d)) for g, (c, d) in agg.items() if c >= min_count
+    }
+
+
+def test_corpus_ngram_counts_matches_reference(ray_session):
+    from liken_ray.extras.curation import corpus_ngram_counts
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 9))))
+        for _ in range(300)
+    ] + [None, "", "   ", "solo"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(9)
+    got = {
+        r["gram"]: (r["cnt"], r["df"])
+        for r in corpus_ngram_counts(ds, n=2, min_count=3).take_all()
+    }
+    assert got == _ngram_reference(texts, 2, 3)
+    # df < cnt must occur somewhere (a doc repeating a gram)
+    assert any(c > d for c, d in got.values())
+
+
+def test_corpus_ngram_counts_min_count_one_keeps_singletons(ray_session):
+    from liken_ray.extras.curation import corpus_ngram_counts
+
+    texts = ["a b c", "b c d"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    got = {
+        r["gram"]: (r["cnt"], r["df"])
+        for r in corpus_ngram_counts(ds, n=2, min_count=1).take_all()
+    }
+    assert got == {"a b": (1, 1), "b c": (2, 2), "c d": (1, 1)}

@@ -16,6 +16,43 @@ import threading
 _read_lock = threading.Lock()
 
 
+def _settle_fsspec_http() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic under concurrency.
+
+    Offline (no aiohttp) that import ALWAYS fails, so it is retried by
+    every Ray path resolution — including ``write_parquet`` with an
+    explicit filesystem, whose ``_is_http_filesystem`` check re-imports it
+    per call. A failed import is removed from ``sys.modules``, so two
+    threads can race the partial module and crash with a bare
+    ``ImportError`` that Ray's ``except ModuleNotFoundError`` does not
+    catch (observed ~1-in-5 full-module flagship runs). Seeding a stub
+    module once makes every later import a cheap, race-free dict hit; the
+    stub class is never instantiated, so Ray's isinstance checks simply
+    stay False for every real filesystem."""
+    import sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import types
+
+        import fsspec.implementations  # the parent package does import
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - placeholder, never built
+            def __init__(self, *a, **k):
+                raise ModuleNotFoundError("No module named 'aiohttp'")
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+        fsspec.implementations.http = stub
+
+
+_settle_fsspec_http()
+
+
 def safe_read_parquet(path, **kwargs):
     import ray.data
 

@@ -298,3 +298,35 @@ def test_corpus_ngram_counts_min_count_one_keeps_singletons(ray_session):
         for r in corpus_ngram_counts(ds, n=2, min_count=1).take_all()
     }
     assert got == {"a b": (1, 1), "b c": (2, 2), "c d": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# fsspec http import settling (threaded write_parquet race)
+# ---------------------------------------------------------------------------
+
+
+def test_fsspec_http_import_is_settled(ray_session, tmp_path):
+    """Ray's path resolution re-imports fsspec.implementations.http on
+    every write; offline that import always fails and concurrent threaded
+    stages can race the partial module into a bare ImportError. Importing
+    liken_ray.io.read must leave a permanent sys.modules entry so the
+    import is a race-free dict hit, and concurrent safe_write_parquet
+    calls from threads must not crash."""
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    import liken_ray.io.read as lio
+
+    assert "fsspec.implementations.http" in sys.modules
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+    def write(i: int) -> int:
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(range(10), pa.int64())})
+        )
+        out = str(tmp_path / f"w{i}")
+        lio.safe_write_parquet(ds, out)
+        return lio.safe_read_parquet(out).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        assert list(pool.map(write, range(8))) == [10] * 8

@@ -705,6 +705,82 @@ def _corpus_ngram_counts_documents(sf_dir: str):
     )
 
 
+def _top_docs_per_lang(sf_dir: str):
+    """Per-language top-3 documents by length (rank = SQL row_number with
+    doc_id tie-break): ONE sort + per-block segmented rank scan with
+    O(blocks) carry chaining — no groupby operator, no per-group Python."""
+    from liken_ray.extras.relational import group_topk
+
+    return group_topk(
+        _read(sf_dir, "documents"), "lang", "n_chars", 3, tie_col="doc_id"
+    )
+
+
+def _length_quantiles_documents(sf_dir: str):
+    """Exact PERCENTILE_DISC over document lengths: ONE sort, per-block
+    counts from block metadata (no scan), len(qs) scalar fetches. The full
+    column never materializes anywhere."""
+    from liken_ray.extras.relational import quantiles
+
+    return quantiles(
+        _read(sf_dir, "documents", columns=["n_chars"]),
+        "n_chars",
+        [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
+def _revenue_per_nation(sf_dir: str):
+    """Star-schema rollup (TPC-H-Q5 shape): orders joined through customer
+    to nation via two broadcast hash joins (dims ray.put once, searchsorted
+    per batch — the fact table is never shuffled), then per-batch partial
+    sums merged on the driver (25 nations x O(blocks) scalars). Money sums
+    in integer cents so the result is associative and hash-stable."""
+    from liken_ray.extras.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(
+        broadcast_join(orders, customer, on="o_custkey", right_on="c_custkey"),
+        nation,
+        on="c_nationkey",
+        right_on="n_nationkey",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names = batch["n_name"]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(np.asarray(names.to_pylist(), dtype=object), return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array(list(uniq), pa.string()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in partials:
+        cur = agg.setdefault(r["n_name"], [0, 0])
+        cur[0] += r["revenue_cents"]
+        cur[1] += r["n_orders"]
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "n_name": pa.array(keys, pa.string()),
+            "revenue_cents": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "n_orders": pa.array([agg[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
 def _semdedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + exact intra-cell cosine scan) with a
     fully SQL-replicable config: centroids pinned to the embeddings of
@@ -813,6 +889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _asof_join_events,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
+        "top_docs_per_lang": _top_docs_per_lang,
+        "length_quantiles_documents": _length_quantiles_documents,
+        "revenue_per_nation": _revenue_per_nation,
     }
 
 
@@ -1271,5 +1350,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gram, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
             "FROM grams GROUP BY gram HAVING count(*) >= 3"
+        ),
+        "top_docs_per_lang": (
+            "SELECT *, CAST(row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank "
+            "FROM documents QUALIFY rank <= 3"
+        ),
+        "length_quantiles_documents": (
+            "SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] AS DOUBLE[])) AS q, "
+            "unnest(quantile_disc(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])) AS value "
+            "FROM documents"
+        ),
+        "revenue_per_nation": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
     }

@@ -45,7 +45,7 @@ import ray
 import ray.data
 from ray.data.block import BlockAccessor
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "broadcast_join"]
 
 
 def _key_change(vals: np.ndarray, nullm: np.ndarray) -> np.ndarray:
@@ -248,3 +248,92 @@ def _to_arrow_blocks(ds):
     if isinstance(_schema(ds), pa.Schema):
         return ds
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def broadcast_join(
+    ds,
+    dim,
+    on: str,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Hash join against a SMALL dimension table, broadcast once.
+
+    The 100-TB shape for star-schema joins: the dimension (``dim`` — a
+    small Dataset or pyarrow Table, e.g. TPC-H ``nation``/``customer``) is
+    materialized to ONE arrow table, sorted by its key, and placed in the
+    object store with a single ``ray.put``; every ``map_batches`` task
+    resolves fact keys with a zero-copy searchsorted lookup. No shuffle of
+    the fact side ever happens — contrast with ``Dataset.join``, whose
+    aggregator actor pools the repo bans from concurrent paths (see
+    CLAUDE.md). ``how`` is ``"inner"`` (drop misses) or ``"left"``
+    (null-fill misses). Dimension keys must be unique and non-null.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_on = right_on or on
+    if not isinstance(dim, pa.Table):
+        dim = pa.concat_tables(
+            b for b in _to_arrow_blocks(dim).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    if right_cols is None:
+        right_cols = [c for c in dim.schema.names if c != right_on]
+    keys = dim[right_on]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pc.any(pc.is_null(keys)).as_py():
+        raise ValueError(f"dimension key {right_on!r} contains nulls")
+    kv = keys.to_numpy(zero_copy_only=False)
+    order = np.argsort(kv, kind="stable")
+    kv_sorted = kv[order]
+    if len(kv_sorted) > 1 and (kv_sorted[1:] == kv_sorted[:-1]).any():
+        raise ValueError(f"dimension key {right_on!r} is not unique")
+    ds = _to_arrow_blocks(ds)
+    left_names = list(_schema(ds).names)
+    if on not in left_names:
+        raise ValueError(f"fact side lacks column {on!r}")
+    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
+    if len(set(out_map.values())) != len(out_map):
+        raise ValueError(f"joined column names collide after suffixing: {out_map}")
+    payload = dim.select(right_cols).take(pa.array(order, pa.int64()))
+    dim_ref = ray.put((kv_sorted, payload))
+    dim_types = {out_map[c]: dim.schema.field(c).type for c in right_cols}
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        kvs, pay = ray.get(dim_ref)
+        key = batch[on]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        fk = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        if len(kvs):
+            # probe with nulls masked to a real key, then invalidate
+            probe = np.where(nullm, kvs[0], fk)
+            pos = np.searchsorted(kvs, probe)
+            pos_c = np.clip(pos, 0, len(kvs) - 1)
+            hit = (kvs[pos_c] == probe) & ~nullm
+        else:
+            pos_c = np.zeros(len(fk), dtype=np.int64)
+            hit = np.zeros(len(fk), dtype=bool)
+        if how == "inner":
+            sel = np.flatnonzero(hit)
+            out = batch.take(pa.array(sel, pa.int64()))
+            idx = pa.array(pos_c[sel], pa.int64())
+            for c in right_cols:
+                out = out.append_column(out_map[c], pay[c].take(idx))
+            return out
+        out = batch
+        take_idx = pa.array(pos_c, pa.int64())
+        hits = pa.array(hit)
+        for c in right_cols:
+            arr = pay[c].take(take_idx)
+            if not hit.all():
+                arr = pc.if_else(hits, arr, pa.scalar(None, type=dim_types[out_map[c]]))
+            out = out.append_column(out_map[c], arr)
+        return out
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -1,0 +1,243 @@
+"""Distributed relational operators Ray Data lacks: per-key top-k and
+exact quantiles.
+
+Both follow the repo's established sort-scan shape (see
+``extras/joins.asof_join``, ``engine/executor.synthesize_ray``): ONE global
+sort is the only shuffle, per-block kernels do vectorized segmented scans,
+and only O(blocks) scalars ever reach the driver. No ``groupby`` operator
+appears anywhere (the repo's perf law: Ray's Aggregate costs ~2x a sort at
+high key cardinality).
+
+Reference parity: the reference engine exposes no top-k/quantile surface;
+these are the LLM-curation extensions (per-language best documents,
+length-percentile filters) the 100-TB pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.block import BlockAccessor
+
+from liken_ray.extras.joins import _key_change, _schema, _to_arrow_blocks
+
+
+def _zero_scalar(t: pa.DataType):
+    """A fixed, type-appropriate fill value for sentinel-encoding null sort
+    keys. The value itself never surfaces: nulls sort into their own group
+    via the companion flag column, so any constant works — it only has to
+    be identical across blocks."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    if pa.types.is_temporal(t):
+        return pa.scalar(0, type=pa.int64()).cast(t)
+    return pa.scalar(0, type=t)
+
+
+def _nonempty_block_refs(srt):
+    """Sorted-order non-empty block refs (Ray's sort emits one EMPTY-schema
+    block for empty input — skip zero-row blocks per CLAUDE.md)."""
+    return [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+
+
+def group_topk(
+    ds,
+    key_col: str,
+    score_col: str,
+    k: int,
+    tie_col: str,
+    descending: bool = True,
+):
+    """Top-``k`` rows per ``key_col``, ranked by ``score_col`` (descending
+    by default) with ``tie_col`` as the deterministic tie-break (ascending).
+    Returns the input columns plus a 1-based ``rank`` (= SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY score DESC, tie)``).
+
+    Plan: ONE sort by (key, score, tie) — the only shuffle — then a
+    per-block segmented rank scan. A key run can straddle block boundaries,
+    so each block first reports O(1) scalars (first/last key, run lengths);
+    the driver chains rank offsets across blocks in sorted order (O(blocks))
+    and each block then finalizes independently with its carry-in. Rows
+    ranked past ``k`` in an earlier block can never resurface later — ranks
+    only grow along the chain — so every block prunes locally.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    names = list(schema.names)
+    for c in (key_col, score_col, tie_col):
+        if c not in names:
+            raise KeyError(f"column {c!r} not in dataset ({names})")
+
+    # Ray's range-partitioned sort cannot place NULL key boundaries
+    # (searchsorted over None); sentinel-encode nulls as (flag, filled)
+    # like the engine's exact-dedup sort — null keys become one trailing
+    # group and the ORIGINAL key column rides through untouched
+    key_type = schema.field(key_col).type
+
+    def encode(t: pa.Table) -> pa.Table:
+        key = t[key_col]
+        nullm = pc.is_null(key)
+        t = t.append_column("_gk_null", pc.cast(nullm, pa.uint8()))
+        return t.append_column("_gk_key", pc.fill_null(key, _zero_scalar(key_type)))
+
+    srt = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .sort(
+            ["_gk_null", "_gk_key", score_col, tie_col],
+            descending=[False, False, descending, False],
+        )
+        .materialize()
+    )
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        out_schema = pa.schema(
+            [schema.field(c) for c in names] + [pa.field("rank", pa.int64())]
+        )
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def summarize(block) -> dict:
+        t = BlockAccessor.for_block(block).to_arrow()
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vals = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        change = _key_change(vals, nullm)
+        starts = np.flatnonzero(change)
+        return {
+            "first_key": key[0].as_py(),
+            "last_key": key[-1].as_py(),
+            "n_rows": t.num_rows,
+            "last_run": t.num_rows - int(starts[-1]),
+        }
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    # chain rank offsets across blocks: carry[i] = rows of block i's first
+    # key already seen in earlier blocks
+    carries: list[int] = []
+    cur_key: Any = object()  # sentinel unequal to every real key
+    cur_count = 0
+    for s in summaries:
+        same = s["first_key"] == cur_key or (s["first_key"] is None and cur_key is None)
+        carry = cur_count if same else 0
+        carries.append(carry)
+        if s["first_key"] == s["last_key"] or (
+            s["first_key"] is None and s["last_key"] is None
+        ):
+            cur_key = s["last_key"]
+            cur_count = carry + s["n_rows"]
+        else:
+            cur_key = s["last_key"]
+            cur_count = s["last_run"]
+
+    @ray.remote
+    def finalize(block, carry: int):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vals = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        change = _key_change(vals, nullm)
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        rank[seg == 0] += carry
+        keep = np.flatnonzero(rank < k)
+        out = t.drop_columns(["_gk_null", "_gk_key"]).take(
+            pa.array(keep, pa.int64())
+        )
+        return out.append_column("rank", pa.array(rank[keep] + 1, pa.int64()))
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, c) for r, c in zip(refs, carries)]
+    )
+
+
+def quantiles(ds, col: str, qs: Sequence[float]):
+    """Exact discrete quantiles of ``col`` (nulls excluded), as a tiny
+    ``(q, value)`` table matching SQL ``quantile_disc`` / PERCENTILE_DISC:
+    the smallest value whose cumulative distribution reaches ``q`` —
+    element ``ceil(q*n) - 1`` of the sorted column.
+
+    Plan: project to the single column, ONE global sort (the only
+    shuffle). Per-block row counts come free from block METADATA — no scan
+    — so the driver locates each target's (block, offset) with one
+    searchsorted over the O(blocks) cumulative counts and fetches only
+    ``len(qs)`` scalars, each via an O(1) remote take on one block. The
+    full column is never materialized anywhere.
+    """
+    qs = list(qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    ds = _to_arrow_blocks(ds)
+    val_type = _schema(ds).field(col).type
+
+    proj = ds.map_batches(
+        lambda t: t.select([col]).filter(pc.is_valid(t[col])),
+        batch_format="pyarrow",
+    )
+    srt = proj.sort(col).materialize()
+
+    pairs = [
+        (ref, meta.num_rows)
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    n = sum(c for _, c in pairs)
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], val_type)})
+        )
+    cum = np.cumsum([c for _, c in pairs])
+    # PERCENTILE_DISC index: ceil(q*n)-1, with an epsilon so float products
+    # that land a hair ABOVE an integer (0.7*10 = 7.000…001) don't drift up
+    # a rank — verified element-exact against DuckDB quantile_disc
+    import math
+
+    targets = [max(0, math.ceil(q * n - 1e-9) - 1) for q in qs]
+
+    @ray.remote
+    def fetch(block, offsets: list[int]):
+        t = BlockAccessor.for_block(block).to_arrow()
+        return t[col].take(pa.array(offsets, pa.int64())).combine_chunks()
+
+    per_block: dict[int, list[int]] = {}
+    placement: list[tuple[int, int]] = []  # (block_idx, slot within its fetch)
+    for tgt in targets:
+        b = int(np.searchsorted(cum, tgt, side="right"))
+        off = tgt - (int(cum[b - 1]) if b else 0)
+        slots = per_block.setdefault(b, [])
+        placement.append((b, len(slots)))
+        slots.append(off)
+
+    fetched = dict(
+        zip(
+            per_block,
+            ray.get([fetch.remote(pairs[b][0], offs) for b, offs in per_block.items()]),
+        )
+    )
+    values = pa.concat_arrays(
+        [fetched[b].slice(slot, 1) for b, slot in placement]
+    )
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(qs, pa.float64()), "value": values})
+    )

@@ -1360,18 +1360,42 @@ def _substring_edges(ds, cfg, ckpt: Checkpointer) -> list[tuple[int, int]]:
     gram_len, window = cfg["gram_len"], cfg["gram_window"]
 
     def fingerprints(batch: pa.Table) -> pa.Table:
-        rids_out = []
-        fps_out = []
-        caps = batch["caption"].to_pylist()
-        rid = batch[RID].to_numpy(zero_copy_only=False)
-        for r, c in zip(rid, caps):
-            if c is None or len(c) < min_cap:
-                continue
-            fps = sx.gram_fingerprints(c.encode("utf8"), gram_len, window)
-            rids_out.extend([int(r)] * len(fps))
-            fps_out.extend(fps.tolist())
+        # batch-level winnowing: eligible captions are filtered with arrow
+        # kernels, their utf8 bytes sliced zero-copy from the column
+        # buffer, and ONE position-normalized rolling-hash + sliding-min
+        # pass fingerprints the whole batch — no per-row Python, no
+        # .tolist() list assembly (was the map's dominant cost)
+        caps = batch["caption"]
+        if isinstance(caps, pa.ChunkedArray):
+            caps = caps.combine_chunks()
+        eligible = pc.and_(
+            pc.is_valid(caps), pc.greater_equal(pc.utf8_length(caps), min_cap)
+        ).to_numpy(zero_copy_only=False)
+        rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(eligible)
+        if len(sel) == 0:
+            return pa.table(
+                {RID: pa.array([], pa.int64()), "fp": pa.array([], pa.uint64())}
+            )
+        kept = caps.take(pa.array(sel, pa.int64()))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_string(kept.type) else np.int32
+        raw_off = np.frombuffer(kept.buffers()[1], dtype=off_dtype)
+        arrow_off = raw_off[kept.offset : kept.offset + len(kept) + 1].astype(np.int64)
+        buf = np.frombuffer(kept.buffers()[2], dtype=np.uint8)[
+            arrow_off[0] : arrow_off[-1]
+        ]
+        fps, row_off = sx.batch_gram_fingerprints(
+            buf, arrow_off - arrow_off[0], gram_len, window
+        )
         return pa.table(
-            {RID: pa.array(rids_out, pa.int64()), "fp": pa.array(fps_out, pa.uint64())}
+            {
+                RID: pa.array(
+                    np.repeat(rid[sel], np.diff(row_off)), pa.int64()
+                ),
+                "fp": pa.array(fps, pa.uint64()),
+            }
         )
 
     fp_ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=cfg["batch_size"])

@@ -781,6 +781,17 @@ def _revenue_per_nation(sf_dir: str):
     )
 
 
+def _shuffle_positions_documents(sf_dir: str):
+    """Deterministic global shuffle order (epoch permutation): pos = rank
+    of splitmix64(doc_id) — partitioning/rerun-independent. One sort;
+    per-block base offsets from metadata, rows tagged per block."""
+    from liken_ray.extras.curation import shuffle_positions
+
+    return shuffle_positions(
+        _read(sf_dir, "documents", columns=["doc_id"]), id_col="doc_id", salt=0
+    )
+
+
 def _semdedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + exact intra-cell cosine scan) with a
     fully SQL-replicable config: centroids pinned to the embeddings of
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _top_docs_per_lang,
         "length_quantiles_documents": _length_quantiles_documents,
         "revenue_per_nation": _revenue_per_nation,
+        "shuffle_positions_documents": _shuffle_positions_documents,
     }
 
 
@@ -1016,6 +1028,26 @@ def _hash_split_sql() -> str:
         f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1), "
         "h AS (SELECT doc_id, xor(c, c >> 31) % 10000 AS bucket FROM z2) "
         f"SELECT doc_id, {case} FROM h"
+    )
+
+
+def _shuffle_positions_sql() -> str:
+    """DuckDB replica of ``extras.curation.shuffle_positions`` (salt 0):
+    the splitmix64 UHUGEINT chain of ``_hash_split_sql``, then
+    pos = row_number() ordered by the final hash (splitmix64 is a
+    bijection over the unique doc_ids — no ties, total order)."""
+    from liken_ray.extras.curation import _GOLDEN, _MIX1, _MIX2
+
+    m = 1 << 64
+    return (
+        "WITH z0 AS (SELECT doc_id, CAST((CAST(doc_id AS UHUGEINT) + "
+        f"{_GOLDEN}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS a FROM documents), "
+        "z1 AS (SELECT doc_id, CAST((CAST(xor(a, a >> 30) AS UHUGEINT) * "
+        f"{_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS b FROM z0), "
+        "z2 AS (SELECT doc_id, CAST((CAST(xor(b, b >> 27) AS UHUGEINT) * "
+        f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY xor(c, c >> 31)) "
+        "AS BIGINT) - 1 AS pos FROM z2"
     )
 
 
@@ -1368,4 +1400,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "shuffle_positions_documents": _shuffle_positions_sql(),
     }

@@ -1066,3 +1066,63 @@ def corpus_ngram_counts(
         }
     )
     return inner.union(ray.data.from_arrow(stitched))
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle order
+# ---------------------------------------------------------------------------
+
+
+def shuffle_positions(ds, id_col: str = "doc_id", salt: int = 0):
+    """Deterministic global shuffle for training-data serving: each row's
+    ``pos`` is the rank of ``splitmix64(id + salt)`` over the WHOLE
+    dataset — a reproducible random permutation that is independent of
+    partitioning, block order and reruns (splitmix64 is a uint64
+    bijection, so ids are totally ordered with no ties; change ``salt``
+    for a fresh epoch order).
+
+    ONE sort by the hash is the only shuffle; per-block base offsets come
+    from block METADATA (no scan, no driver materialization — the
+    ``pack_offsets`` running-sum idiom), and each block then tags its rows
+    independently. Returns ``(id_col, pos)``."""
+    import ray
+    import ray.data
+    from ray.data.block import BlockAccessor
+
+    def keyize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) + _salt64(salt))
+        return pa.table(
+            {id_col: batch[id_col], "_sh": pa.array(h, pa.uint64())}
+        )
+
+    srt = ds.map_batches(keyize, batch_format="pyarrow").sort("_sh").materialize()
+    pairs = [
+        (ref, meta.num_rows)
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    if not pairs:
+        sch = ds.schema()
+        id_type = getattr(sch, "base_schema", sch).field(id_col).type
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], id_type), "pos": pa.array([], pa.int64())})
+        )
+    bases = np.concatenate([[0], np.cumsum([c for _, c in pairs])[:-1]])
+
+    @ray.remote
+    def tag(block, base: int):
+        t = BlockAccessor.for_block(block).to_arrow()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "pos": pa.array(
+                    base + np.arange(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.from_arrow_refs(
+        [tag.remote(ref, int(b)) for (ref, _), b in zip(pairs, bases)]
+    )

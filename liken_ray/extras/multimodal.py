@@ -27,16 +27,29 @@ from liken_ray.kernels import phash as ph
 
 
 class ImageFeatureStage:
-    """Actor-pool stage: decode → (phash, mean RGB, dims). Decoder lookup
-    and DCT basis are actor state."""
+    """Actor-pool stage: decode → (perceptual hash, mean RGB, dims).
+    Decoder lookup and DCT basis are actor state. ``hash_kind`` selects the
+    hash family: ``"phash"`` (DCT, default), ``"ahash"`` (mean threshold —
+    cheapest, a good band-key prefilter) or ``"dhash"`` (horizontal
+    gradient sign — robust to brightness/contrast shifts); the output
+    column is named after the kind."""
 
-    def __init__(self, bytes_col: str = "bytes"):
+    _HASHES = {"phash": "phash64", "ahash": "ahash64", "dhash": "dhash64"}
+
+    def __init__(self, bytes_col: str = "bytes", hash_kind: str = "phash"):
+        if hash_kind not in self._HASHES:
+            raise ValueError(
+                f"hash_kind must be one of {sorted(self._HASHES)}, got {hash_kind!r}"
+            )
         self.bytes_col = bytes_col
-        ph._dct_basis(ph.RESAMPLE)  # build once per actor
+        self.hash_kind = hash_kind
+        self._hash_fn = getattr(ph, self._HASHES[hash_kind])
+        if hash_kind == "phash":
+            ph._dct_basis(ph.RESAMPLE)  # build once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        phashes = np.zeros(n, dtype=np.uint64)
+        hashes = np.zeros(n, dtype=np.uint64)
         means = np.zeros((n, 3), dtype=np.float64)
         for i in range(n):
             img = ph.decode_image(
@@ -45,12 +58,12 @@ class ImageFeatureStage:
                 batch["h"][i].as_py(),
                 batch["fmt"][i].as_py(),
             )
-            phashes[i] = np.uint64(ph.phash64(img))
+            hashes[i] = np.uint64(self._hash_fn(img))
             means[i] = img.reshape(-1, 3).mean(axis=0)
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "phash": phashes.view(np.int64),
+                self.hash_kind: hashes.view(np.int64),
                 "mean_r": means[:, 0],
                 "mean_g": means[:, 1],
                 "mean_b": means[:, 2],

@@ -105,6 +105,42 @@ def phash64(pixels: np.ndarray) -> int:
     return out
 
 
+def _area_resample_rect(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Rectangular box/area downsample to (out_h, out_w) — the square
+    ``_area_resample`` generalized for dHash's (8, 9) grid."""
+    h, w = gray.shape
+    ph_, pw_ = (-h) % out_h, (-w) % out_w
+    if ph_ or pw_:
+        gray = np.pad(gray, ((0, ph_), (0, pw_)), mode="edge")
+        h, w = gray.shape
+    return gray.reshape(out_h, h // out_h, out_w, w // out_w).mean(axis=(1, 3))
+
+
+def _bits_to_u64(bits: np.ndarray) -> int:
+    out = 0
+    for bit in bits.reshape(-1):
+        out = (out << 1) | int(bit)
+    return out
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: 8x8 area downsample, bit = cell > global mean.
+    The cheapest member of the perceptual-hash family — no DCT — useful as
+    a prefilter band key where phash's transform cost dominates."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _area_resample(gray, HASH_SIZE)
+    return _bits_to_u64(small > small.mean())
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: 8x9 area downsample, bit = cell brighter
+    than its right neighbour (horizontal gradient sign). Robust to global
+    brightness/contrast shifts that flip ahash bits."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _area_resample_rect(gray, HASH_SIZE, HASH_SIZE + 1)
+    return _bits_to_u64(small[:, 1:] > small[:, :-1])
+
+
 def phash_batch(datas: list[bytes], ws, hs, fmts) -> np.ndarray:
     out = np.empty(len(datas), dtype=np.uint64)
     for i, (d, w, h, f) in enumerate(zip(datas, ws, hs, fmts)):

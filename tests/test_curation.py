@@ -462,3 +462,41 @@ def test_negative_salt_and_null_pii_counts(ray_session):
     rows = {r["doc_id"]: r for r in pii_scrub(ray.data.from_arrow(t)).take_all()}
     assert rows[49]["text"] is None and rows[49]["n_email"] == 0
     assert rows[0]["n_email"] == 1
+
+
+# ---------------------------------------------------------------------------
+# shuffle_positions
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_positions_is_a_permutation_and_deterministic(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import shuffle_positions
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = {r["doc_id"]: r["pos"] for r in
+           shuffle_positions(ds, "doc_id").take_all()}
+    assert sorted(got.values()) == list(range(1000))  # a permutation
+    # rank parity with a direct argsort of the hash
+    h = splitmix64(ids.view(np.uint64))
+    want = {int(i): int(p) for p, i in enumerate(ids[np.argsort(h)])}
+    assert got == want
+    # partitioning-independence
+    got7 = {r["doc_id"]: r["pos"] for r in
+            shuffle_positions(ds.repartition(7), "doc_id").take_all()}
+    assert got7 == got
+    # salt changes the order
+    salted = {r["doc_id"]: r["pos"] for r in
+              shuffle_positions(ds, "doc_id", salt=1).take_all()}
+    assert salted != got and sorted(salted.values()) == list(range(1000))
+
+
+def test_shuffle_positions_empty(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import shuffle_positions
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert shuffle_positions(ds, "doc_id").take_all() == []

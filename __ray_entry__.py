@@ -792,6 +792,31 @@ def _shuffle_positions_documents(sf_dir: str):
     )
 
 
+def _hll_registers_documents(sf_dir: str):
+    """HyperLogLog register table (p=12) of n_chars — the distributed
+    COUNT(DISTINCT) sketch. Per-batch register combine -> one sort by
+    bucket + segmented max + O(blocks) stitch. The register table is pure
+    integers and deterministic, so SQL replicates it bit-for-bit; the
+    float estimator stays out of the oracle (pytest pins its accuracy)."""
+    from liken_ray.extras.sketches import hll_registers
+
+    return hll_registers(
+        _read(sf_dir, "documents", columns=["n_chars"]), "n_chars", p=12
+    )
+
+
+def _frequent_lengths_documents(sf_dir: str):
+    """Exact global heavy hitters: the 10 most common document lengths.
+    Per-batch value_counts combine -> one sort + segmented sums ->
+    per-block local top-k -> O(blocks x k) driver merge; ties broken by
+    smaller value (= the oracle's ORDER BY cnt DESC, value)."""
+    from liken_ray.extras.sketches import frequent_items
+
+    return frequent_items(
+        _read(sf_dir, "documents", columns=["n_chars"]), "n_chars", k=10
+    )
+
+
 def _semdedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + exact intra-cell cosine scan) with a
     fully SQL-replicable config: centroids pinned to the embeddings of
@@ -904,6 +929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_documents": _length_quantiles_documents,
         "revenue_per_nation": _revenue_per_nation,
         "shuffle_positions_documents": _shuffle_positions_documents,
+        "hll_registers_documents": _hll_registers_documents,
+        "frequent_lengths_documents": _frequent_lengths_documents,
     }
 
 
@@ -1048,6 +1075,33 @@ def _shuffle_positions_sql() -> str:
         f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1) "
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY xor(c, c >> 31)) "
         "AS BIGINT) - 1 AS pos FROM z2"
+    )
+
+
+def _hll_registers_sql() -> str:
+    """DuckDB replica of ``extras.sketches.hll_registers`` over n_chars at
+    p=12: the splitmix64 UHUGEINT chain, bucket = top 12 bits, rho =
+    leading zeros of the low 52 bits + 1 via length(bin(rem)) (bin() is a
+    minimal binary string, so length-1 is an EXACT floor(log2)), register
+    = per-bucket max."""
+    from liken_ray.extras.curation import _GOLDEN, _MIX1, _MIX2
+
+    m = 1 << 64
+    q = 52  # 64 - p
+    return (
+        "WITH z0 AS (SELECT CAST((CAST(n_chars AS UHUGEINT) + "
+        f"{_GOLDEN}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS a "
+        "FROM documents WHERE n_chars IS NOT NULL), "
+        "z1 AS (SELECT CAST((CAST(xor(a, a >> 30) AS UHUGEINT) * "
+        f"{_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS b FROM z0), "
+        "z2 AS (SELECT CAST((CAST(xor(b, b >> 27) AS UHUGEINT) * "
+        f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1), "
+        "h AS (SELECT xor(c, c >> 31) AS h FROM z2), "
+        f"parts AS (SELECT CAST(h >> {q} AS BIGINT) AS bucket, "
+        f"h % {1 << q}::UBIGINT AS rem FROM h) "
+        "SELECT bucket, CAST(MAX(CASE WHEN rem = 0 THEN "
+        f"{q + 1} ELSE {q} - (length(bin(rem)) - 1) END) AS BIGINT) AS rho "
+        "FROM parts GROUP BY bucket"
     )
 
 
@@ -1401,4 +1455,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "shuffle_positions_documents": _shuffle_positions_sql(),
+        "hll_registers_documents": _hll_registers_sql(),
+        "frequent_lengths_documents": (
+            "SELECT n_chars AS value, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars "
+            "QUALIFY row_number() OVER (ORDER BY cnt DESC, value) <= 10"
+        ),
     }

@@ -1,0 +1,278 @@
+"""Distributed cardinality sketches (HyperLogLog).
+
+``COUNT(DISTINCT x)`` at 100 TB is either a full shuffle (exact) or a
+sketch; HyperLogLog (Flajolet et al. 2007) gets ~1.6%/sqrt(m/1024) error
+from ``m = 2^p`` one-byte registers that merge by element-wise max — the
+canonical pre-aggregatable distributed aggregate.
+
+Everything here is DETERMINISTIC (splitmix64 value hashing, no sampling):
+the register table for a given input is a pure function, so the DuckDB
+oracle replicates it bit-for-bit in integer SQL (splitmix UHUGEINT chain +
+binary-string rho extraction) — see ``__ray_entry__._hll_registers_sql``.
+The float estimator is deliberately kept OUT of the oracle surface
+(cross-engine float summation order differs); pytest pins its accuracy
+against true cardinalities instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from liken_ray.extras.curation import _salt64, splitmix64
+
+
+def _floor_log2_u64(x: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(x)) for uint64 x > 0 — branchless doubling, no
+    float round-trip (float64 is wrong above 2^53)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >> np.uint64(shift) > 0
+        out[m] += shift
+        v[m] >>= np.uint64(shift)
+    return out
+
+
+def _rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per hash: bucket = top ``p`` bits; rho = leading-zero
+    count of the remaining ``q = 64 - p`` bits + 1 (q + 1 when they are
+    all zero)."""
+    q = 64 - p
+    bucket = (h >> np.uint64(q)).astype(np.int64)
+    rem = h & np.uint64((1 << q) - 1)
+    rho = np.full(len(h), q + 1, dtype=np.int64)
+    nz = rem > 0
+    rho[nz] = q - _floor_log2_u64(rem[nz])
+    return bucket, rho
+
+
+def hll_registers(ds, col: str, p: int = 12, salt: int = 0):
+    """The HyperLogLog register table of ``col`` (int64 values hashed with
+    ``splitmix64(value + salt)``; nulls ignored): a Dataset of
+    ``(bucket, rho)`` rows for every NON-ZERO register — pure integers,
+    deterministic, mergeable with another sketch by per-bucket max.
+
+    Each batch pre-aggregates to its own <= 2^p register rows (the
+    combiner), then ONE sort by bucket + per-block segmented max with the
+    O(blocks) boundary stitch merges globally — registers never gather on
+    the driver beyond the O(blocks) edge rows. Feed the result to
+    ``hll_estimate`` for the cardinality."""
+    if not (4 <= p <= 18):
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = vals.to_numpy(zero_copy_only=False)
+        v = np.asarray(v[valid], dtype=np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        h = splitmix64(v.view(np.uint64) + _salt64(salt))
+        bucket, rho = _rho(h, p)
+        regs = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    srt = parts.sort("bucket").materialize()
+
+    def seg_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        r = t["rho"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(b), dtype=bool)
+        new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        mx = np.zeros(len(starts), dtype=np.int64)
+        np.maximum.at(mx, seg, r)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                "bucket": pa.array(b[starts], pa.int64()),
+                "rho": pa.array(mx, pa.int64()),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    blocks = srt.map_batches(seg_max, batch_format="pyarrow", batch_size=None)
+    blocks = blocks.materialize()
+    inner = blocks.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
+    ).take_all()
+    merged: dict[int, int] = {}
+    for row in edge_rows:
+        k = row["bucket"]
+        if k not in merged or row["rho"] > merged[k]:
+            merged[k] = row["rho"]
+    ks = sorted(merged)
+    stitched = pa.table(
+        {
+            "bucket": pa.array(ks, pa.int64()),
+            "rho": pa.array([merged[k] for k in ks], pa.int64()),
+        }
+    )
+    return inner.union(ray.data.from_arrow(stitched))
+
+
+def hll_estimate(registers, p: int = 12) -> float:
+    """Cardinality estimate from a ``(bucket, rho)`` register table (a
+    Dataset, pyarrow Table, or (bucket, rho) numpy pair) — the standard
+    HLL estimator with small-range linear counting (Flajolet et al. '07)."""
+    m = 1 << p
+    if isinstance(registers, tuple):
+        bucket, rho = registers
+    else:
+        tbl = (
+            registers
+            if isinstance(registers, pa.Table)
+            else pa.concat_tables(
+                registers.iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
+        rho = tbl["rho"].to_numpy(zero_copy_only=False)
+    regs = np.zeros(m, dtype=np.int64)
+    if len(bucket):
+        np.maximum.at(regs, np.asarray(bucket, dtype=np.int64), np.asarray(rho))
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    est = alpha * m * m / float(np.sum(np.ldexp(1.0, -regs)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (global top-k most frequent values)
+# ---------------------------------------------------------------------------
+
+
+def frequent_items(ds, col: str, k: int = 10):
+    """The ``k`` globally most frequent values of ``col`` (nulls ignored)
+    as a small ``(value, cnt)`` arrow table, ties broken by smaller value
+    (deterministic, = SQL ``ORDER BY cnt DESC, value``).
+
+    Exact, not a sketch: per-batch ``pyarrow.compute.value_counts``
+    combine → ONE sort by value + per-block segmented sums with the
+    O(blocks) edge stitch (global counts) → per-block LOCAL top-k (a
+    global top-k element is necessarily in its block's top-k) → driver
+    merge of O(blocks × k) candidates. The value space never gathers
+    anywhere."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import ray.data
+
+    sch = ds.schema()
+    val_type = getattr(sch, "base_schema", sch).field(col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.drop_null()
+        if len(vals) == 0:
+            return pa.table(
+                {"value": pa.array([], val_type), "cnt": pa.array([], pa.int64())}
+            )
+        vc = vals.value_counts()
+        return pa.table(
+            {"value": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    srt = parts.sort("value").materialize()
+
+    def seg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], val_type),
+                    "cnt": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        v = t["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(v.slice(1), v.slice(0, len(v) - 1))
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = neq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(v)]
+        cs = np.zeros(len(v) + 1, dtype=np.int64)
+        np.cumsum(c, out=cs[1:])
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                "value": v.take(pa.array(starts, pa.int64())),
+                "cnt": pa.array(cs[ends] - cs[starts], pa.int64()),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    blocks = srt.map_batches(seg, batch_format="pyarrow", batch_size=None)
+    blocks = blocks.materialize()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"])
+        if t.num_rows <= k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("value", "ascending")]
+        )
+        return t.take(idx.slice(0, k))
+
+    candidates = blocks.map_batches(local_topk, batch_format="pyarrow").take_all()
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]), batch_format="pyarrow"
+    ).take_all()
+    merged: dict = {}
+    for row in edge_rows:
+        merged[row["value"]] = merged.get(row["value"], 0) + row["cnt"]
+    pool = [(r["value"], r["cnt"]) for r in candidates] + list(merged.items())
+    pool.sort(key=lambda x: (-x[1], x[0]))
+    top = pool[:k]
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in top], val_type),
+            "cnt": pa.array([c for _, c in top], pa.int64()),
+        }
+    )

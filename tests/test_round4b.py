@@ -330,3 +330,22 @@ def test_fsspec_http_import_is_settled(ray_session, tmp_path):
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         assert list(pool.map(write, range(8))) == [10] * 8
+
+
+def test_corpus_ngram_counts_hot_gram_spans_many_blocks(ray_session):
+    """ONE gram dominating the corpus: after the sort its run fills many
+    blocks, so most blocks contribute only edge rows — the driver stitch
+    must sum them all (and df partials across batches) without loss."""
+    from liken_ray.extras.curation import corpus_ngram_counts
+
+    texts = ["hot gram " * 40] * 400 + ["cold pair unique%d x" % i for i in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(13)
+    got = {r["gram"]: (r["cnt"], r["df"]) for r in
+           corpus_ngram_counts(ds, n=2, min_count=2).take_all()}
+    # "hot gram" appears 40x per doc ("hot gram hot gram ..." -> 40 "hot
+    # gram" + 39 "gram hot"), 400 docs
+    assert got["hot gram"] == (40 * 400, 400)
+    assert got["gram hot"] == (39 * 400, 400)

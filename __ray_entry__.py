@@ -805,6 +805,19 @@ def _hll_registers_documents(sf_dir: str):
     )
 
 
+def _cms_counters_documents(sf_dir: str):
+    """Count-Min counter table (d=4, w=2048) of n_chars — the additive
+    frequency sketch. Per-batch counter combine -> one sort by packed cell
+    + segmented sums + O(blocks) stitch; the integer counter table is
+    deterministic so SQL replicates it bit-for-bit (double splitmix
+    UHUGEINT chain per row salt)."""
+    from liken_ray.extras.sketches import cms_counters
+
+    return cms_counters(
+        _read(sf_dir, "documents", columns=["n_chars"]), "n_chars", d=4, w=2048
+    )
+
+
 def _frequent_lengths_documents(sf_dir: str):
     """Exact global heavy hitters: the 10 most common document lengths.
     Per-batch value_counts combine -> one sort + segmented sums ->
@@ -931,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions_documents": _shuffle_positions_documents,
         "hll_registers_documents": _hll_registers_documents,
         "frequent_lengths_documents": _frequent_lengths_documents,
+        "cms_counters_documents": _cms_counters_documents,
     }
 
 
@@ -1075,6 +1089,37 @@ def _shuffle_positions_sql() -> str:
         f"{_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT) AS c FROM z1) "
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY xor(c, c >> 31)) "
         "AS BIGINT) - 1 AS pos FROM z2"
+    )
+
+
+def _splitmix_chain_sql(inp: str, out: str) -> str:
+    """One splitmix64 application as chained SQL expressions: ``out`` =
+    splitmix64(``inp``) via the same UHUGEINT mod-2^64 steps as the other
+    oracles (nested so it composes — no CTE name collisions)."""
+    from liken_ray.extras.curation import _GOLDEN, _MIX1, _MIX2
+
+    m = 1 << 64
+    a = f"CAST((CAST({inp} AS UHUGEINT) + {_GOLDEN}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT)"
+    b = f"CAST((CAST(xor({a}, {a} >> 30) AS UHUGEINT) * {_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT)"
+    c = f"CAST((CAST(xor({b}, {b} >> 27) AS UHUGEINT) * {_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT)"
+    return f"xor({c}, {c} >> 31) AS {out}"
+
+
+def _cms_counters_sql(d: int = 4, w: int = 2048) -> str:
+    """DuckDB replica of ``extras.sketches.cms_counters`` at d=4, w=2048:
+    h0 = splitmix64(n_chars); row r's bucket = splitmix64(h0 + r + 1) % w
+    (w is a power of two, so UBIGINT %w == the kernel's & (w-1))."""
+    return (
+        f"WITH h0t AS (SELECT {_splitmix_chain_sql('n_chars', 'h0')} "
+        "FROM documents WHERE n_chars IS NOT NULL), "
+        f"salted AS (SELECT h0, unnest(range(1, {d + 1})) AS r FROM h0t), "
+        # the salted input is summed in UHUGEINT: h0 + r in UBIGINT would
+        # ERROR (not wrap) for h0 within d of 2^64, while the kernel wraps
+        f"hashed AS (SELECT CAST(r - 1 AS BIGINT) AS row, "
+        f"{_splitmix_chain_sql('CAST(h0 AS UHUGEINT) + CAST(r AS UHUGEINT)', 'h1')} "
+        "FROM salted) "
+        f"SELECT row, CAST(h1 % {w} AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM hashed GROUP BY row, bucket"
     )
 
 
@@ -1461,4 +1506,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE n_chars IS NOT NULL GROUP BY n_chars "
             "QUALIFY row_number() OVER (ORDER BY cnt DESC, value) <= 10"
         ),
+        "cms_counters_documents": _cms_counters_sql(),
     }

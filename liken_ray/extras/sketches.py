@@ -276,3 +276,151 @@ def frequent_items(ds, col: str, k: int = 10):
             "cnt": pa.array([c for _, c in top], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies under a fixed memory bound)
+# ---------------------------------------------------------------------------
+
+# fixed per-row salts: row r rehashes the value hash with salt r+1 (salt 0
+# would make row 0 the identity rehash of the value hash). Two chained
+# splitmix64 applications keep the d rows decorrelated AND SQL-replicable
+# (each is the same UHUGEINT chain the other oracles already use).
+
+
+def _cms_buckets(v: np.ndarray, d: int, w: int, salt: int) -> np.ndarray:
+    """(d, len(v)) bucket indices: row r = splitmix64(splitmix64(v + salt)
+    + r + 1) & (w - 1)."""
+    h0 = splitmix64(v.view(np.uint64) + _salt64(salt))
+    out = np.empty((d, len(v)), dtype=np.int64)
+    for r in range(d):
+        out[r] = (splitmix64(h0 + _salt64(r + 1)) & np.uint64(w - 1)).astype(
+            np.int64
+        )
+    return out
+
+
+def cms_counters(ds, col: str, d: int = 4, w: int = 2048, salt: int = 0):
+    """Count-Min sketch of ``col`` (int64 values; nulls ignored): a Dataset
+    of ``(row, bucket, cnt)`` for every NON-ZERO counter of the d x w
+    matrix — pure integers, deterministic, mergeable with another sketch
+    by per-cell SUM (counts are additive, the property that makes CMS the
+    canonical distributed frequency sketch).
+
+    Per-batch counter combine (bincount per row) → ONE sort by the packed
+    (row, bucket) cell id + per-block segmented sums + O(blocks) stitch —
+    the HLL merge shape with sum instead of max. Query with
+    ``cms_query`` (min over the d counters — an upper bound on the true
+    count, within eps*N with probability 1-delta for w=e/eps, d=ln(1/delta))."""
+    if d < 1 or w < 2 or (w & (w - 1)) != 0:
+        raise ValueError(f"need d >= 1 and w a power of two >= 2, got d={d} w={w}")
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = np.asarray(vals.to_numpy(zero_copy_only=False)[valid], dtype=np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        b = _cms_buckets(v, d, w, salt)
+        cells = (np.arange(d, dtype=np.int64)[:, None] * w + b).ravel()
+        counts = np.bincount(cells, minlength=d * w)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt": pa.array(counts[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    srt = parts.sort("cell").materialize()
+
+    def seg_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        cl = t["cell"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(cl), dtype=bool)
+        new[1:] = cl[1:] != cl[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(cl)]
+        cs = np.zeros(len(cl) + 1, dtype=np.int64)
+        np.cumsum(c, out=cs[1:])
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                "cell": pa.array(cl[starts], pa.int64()),
+                "cnt": pa.array(cs[ends] - cs[starts], pa.int64()),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    blocks = srt.map_batches(seg_sum, batch_format="pyarrow", batch_size=None)
+    blocks = blocks.materialize()
+    inner = blocks.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
+    ).take_all()
+    merged: dict[int, int] = {}
+    for rrow in edge_rows:
+        merged[rrow["cell"]] = merged.get(rrow["cell"], 0) + rrow["cnt"]
+    ks = sorted(merged)
+    stitched = pa.table(
+        {
+            "cell": pa.array(ks, pa.int64()),
+            "cnt": pa.array([merged[kk] for kk in ks], pa.int64()),
+        }
+    )
+    out = inner.union(ray.data.from_arrow(stitched))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cl = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "row": pa.array(cl // w, pa.int64()),
+                "bucket": pa.array(cl % w, pa.int64()),
+                "cnt": t["cnt"],
+            }
+        )
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def cms_query(
+    counters, values, d: int = 4, w: int = 2048, salt: int = 0
+) -> np.ndarray:
+    """Frequency upper-bound estimates for ``values`` from a
+    ``(row, bucket, cnt)`` counter table (Dataset or pyarrow Table):
+    min over the d rows' counters."""
+    tbl = (
+        counters
+        if isinstance(counters, pa.Table)
+        else pa.concat_tables(
+            counters.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    mat = np.zeros((d, w), dtype=np.int64)
+    rows = tbl["row"].to_numpy(zero_copy_only=False)
+    buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
+    cnts = tbl["cnt"].to_numpy(zero_copy_only=False)
+    mat[rows, buckets] = cnts
+    v = np.asarray(values, dtype=np.int64)
+    b = _cms_buckets(v, d, w, salt)
+    ests = mat[np.arange(d)[:, None], b]
+    return ests.min(axis=0)

@@ -116,3 +116,71 @@ def test_frequent_items_string_col_and_small_k(ray_session):
     ]
     with pytest.raises(ValueError):
         frequent_items(ds, "s", k=0)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_counters_partition_independent_and_reference(ray_session):
+    from liken_ray.extras.sketches import _cms_buckets, cms_counters
+
+    rng = np.random.default_rng(3)
+    vals = (rng.zipf(1.4, size=15_000) % 1000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in cms_counters(ds, "x", d=3, w=512).take_all()}
+    got7 = {(r["row"], r["bucket"]): r["cnt"]
+            for r in cms_counters(ds.repartition(7), "x", d=3, w=512).take_all()}
+    assert got7 == got
+    # reference: count buckets directly
+    b = _cms_buckets(vals, 3, 512, 0)
+    ref = {}
+    for r in range(3):
+        for bucket in b[r]:
+            ref[(r, int(bucket))] = ref.get((r, int(bucket)), 0) + 1
+    assert got == ref
+
+
+def test_cms_query_upper_bound_and_accuracy(ray_session):
+    import collections
+
+    from liken_ray.extras.sketches import cms_counters, cms_query
+
+    rng = np.random.default_rng(5)
+    vals = (rng.zipf(1.3, size=40_000) % 5000).astype(np.int64)
+    true = collections.Counter(vals.tolist())
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})).repartition(5)
+    counters = cms_counters(ds, "x", d=4, w=4096)
+    qs = np.array(sorted(true, key=true.get, reverse=True)[:50], dtype=np.int64)
+    est = cms_query(counters, qs, d=4, w=4096)
+    tr = np.array([true[int(q)] for q in qs])
+    assert (est >= tr).all()  # CMS never underestimates
+    # with w=4096 >> distinct/heavy mass, heavy hitters are near-exact
+    assert (est - tr <= 0.01 * len(vals)).all()
+    rel_heavy = (est[:10] - tr[:10]) / tr[:10]
+    assert (rel_heavy < 0.05).all()
+
+
+def test_cms_validation_and_merge_by_sum(ray_session):
+    from liken_ray.extras.sketches import _cms_buckets, cms_counters
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError):
+        cms_counters(ds, "x", w=1000)  # not a power of two
+    # additivity: counters(a ++ b) == counters(a) + counters(b)
+    a = np.array([1, 2, 3, 1], dtype=np.int64)
+    b = np.array([1, 5], dtype=np.int64)
+    def counts(vals):
+        bk = _cms_buckets(vals, 2, 64, 0)
+        out = {}
+        for r in range(2):
+            for x in bk[r]:
+                out[(r, int(x))] = out.get((r, int(x)), 0) + 1
+        return out
+    ca, cb, cab = counts(a), counts(b), counts(np.concatenate([a, b]))
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cab

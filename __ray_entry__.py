@@ -805,6 +805,32 @@ def _hll_registers_documents(sf_dir: str):
     )
 
 
+def _length_quantiles_per_lang(sf_dir: str):
+    """Per-language exact PERCENTILE_DISC of document length: one sort by
+    (lang, n_chars); interior key runs resolve their quantiles inside
+    their block, only the O(blocks) boundary runs chain through the
+    driver."""
+    from liken_ray.extras.relational import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "documents", columns=["lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        [0.25, 0.5, 0.9],
+    )
+
+
+def _profile_documents(sf_dir: str):
+    """Per-column data-quality profile (n / nulls / min / max / integer
+    sum): one streaming pass of O(columns) partials, O(blocks x columns)
+    driver merge — no shuffle."""
+    from liken_ray.extras.relational import table_profile
+
+    return table_profile(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    )
+
+
 def _cms_counters_documents(sf_dir: str):
     """Count-Min counter table (d=4, w=2048) of n_chars — the additive
     frequency sketch. Per-batch counter combine -> one sort by packed cell
@@ -945,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_documents": _hll_registers_documents,
         "frequent_lengths_documents": _frequent_lengths_documents,
         "cms_counters_documents": _cms_counters_documents,
+        "length_quantiles_per_lang": _length_quantiles_per_lang,
+        "profile_documents": _profile_documents,
     }
 
 
@@ -1103,6 +1131,26 @@ def _splitmix_chain_sql(inp: str, out: str) -> str:
     b = f"CAST((CAST(xor({a}, {a} >> 30) AS UHUGEINT) * {_MIX1}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT)"
     c = f"CAST((CAST(xor({b}, {b} >> 27) AS UHUGEINT) * {_MIX2}::UHUGEINT) % {m}::UHUGEINT AS UBIGINT)"
     return f"xor({c}, {c} >> 31) AS {out}"
+
+
+def _profile_sql() -> str:
+    """DuckDB replica of ``table_profile`` over (doc_id, lang, n_chars):
+    one UNION ALL arm per column; min/max as VARCHAR so a mixed-type
+    profile fits one schema; sum only for integer columns."""
+    def arm(col: str, numeric: bool) -> str:
+        total = "CAST(count(*) - count({c}) AS BIGINT)".format(c=col)
+        sm = (
+            f"CAST(sum({col}) AS BIGINT)" if numeric else "CAST(NULL AS BIGINT)"
+        )
+        return (
+            f"SELECT '{col}' AS \"column\", CAST(count({col}) AS BIGINT) AS n, "
+            f"{total} AS nulls, CAST(min({col}) AS VARCHAR) AS min, "
+            f"CAST(max({col}) AS VARCHAR) AS max, {sm} AS sum FROM documents"
+        )
+
+    return " UNION ALL ".join(
+        [arm("doc_id", True), arm("lang", False), arm("n_chars", True)]
+    )
 
 
 def _cms_counters_sql(d: int = 4, w: int = 2048) -> str:
@@ -1507,4 +1555,10 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (ORDER BY cnt DESC, value) <= 10"
         ),
         "cms_counters_documents": _cms_counters_sql(),
+        "length_quantiles_per_lang": (
+            "SELECT lang, unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS q, "
+            "unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9])) AS value "
+            "FROM documents WHERE n_chars IS NOT NULL GROUP BY lang"
+        ),
+        "profile_documents": _profile_sql(),
     }

@@ -241,3 +241,280 @@ def quantiles(ds, col: str, qs: Sequence[float]):
     return ray.data.from_arrow(
         pa.table({"q": pa.array(qs, pa.float64()), "value": values})
     )
+
+
+def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
+    """Exact discrete quantiles of ``val_col`` PER ``key_col`` group
+    (``(key, q, value)`` rows; null values excluded, null keys form their
+    own group) — SQL ``quantile_disc(val, qs) ... GROUP BY key`` parity,
+    element index ``ceil(q*n_k) - 1`` per group.
+
+    ONE sort by (key, val) — the only shuffle. Every key run that is
+    INTERIOR to a block resolves its quantiles locally in that block;
+    only the first/last run of each block (the only runs that can
+    straddle a boundary) goes through the driver, which chains their
+    (start, count) in sorted order — O(blocks) state — and fetches the
+    O(straddling-keys x qs) target values by block-offset lookup, the
+    ``quantiles`` fetch pattern. Driver work is O(blocks x qs), never
+    O(keys)."""
+    import math
+
+    qs = list(qs)
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    key_type = schema.field(key_col).type
+    val_type = schema.field(val_col).type
+
+    def encode(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, val_col]).filter(pc.is_valid(t[val_col]))
+        key = t[key_col]
+        return pa.table(
+            {
+                "_gq_null": pc.cast(pc.is_null(key), pa.uint8()),
+                "_gq_key": pc.fill_null(key, _zero_scalar(key_type)),
+                key_col: key,
+                val_col: t[val_col],
+            }
+        )
+
+    srt = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .sort(["_gq_null", "_gq_key", val_col])
+        .materialize()
+    )
+    pairs = [
+        (ref, meta.num_rows)
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    empty = pa.table(
+        {
+            key_col: pa.array([], key_type),
+            "q": pa.array([], pa.float64()),
+            "value": pa.array([], val_type),
+        }
+    )
+    if not pairs:
+        return ray.data.from_arrow(empty)
+    bases = np.concatenate([[0], np.cumsum([c for _, c in pairs])])
+
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def _targets(n: int) -> np.ndarray:
+        return np.maximum(0, np.ceil(qarr * n - 1e-9).astype(np.int64) - 1)
+
+    @ray.remote(num_returns=2)
+    def block_pass(block) -> tuple:
+        """Two returns: the interior-quantile table (stays in the object
+        store — O(interior keys x qs) rows must NEVER route through the
+        driver) and the O(1) boundary summary."""
+        t = BlockAccessor.for_block(block).to_arrow()
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vals = key.to_numpy(zero_copy_only=False)
+        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
+        change = _key_change(vals, nullm)
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], t.num_rows]
+        nq = len(qarr)
+        # interior runs: all but the first and last
+        if len(starts) > 2:
+            s, e = starts[1:-1], ends[1:-1]
+            n = e - s
+            idx = (
+                s[:, None]
+                + np.maximum(
+                    0, np.ceil(qarr[None, :] * n[:, None] - 1e-9).astype(np.int64) - 1
+                )
+            ).ravel()
+            inner = pa.table(
+                {
+                    key_col: key.take(pa.array(np.repeat(s, nq), pa.int64())),
+                    "q": pa.array(np.tile(qarr, len(s)), pa.float64()),
+                    "value": t[val_col].take(pa.array(idx, pa.int64())),
+                }
+            )
+        else:
+            inner = empty
+        first_run = int(starts[1]) if len(starts) > 1 else t.num_rows
+        summary = (
+            key[0].as_py(),
+            key[-1].as_py(),
+            t.num_rows,
+            first_run,
+            t.num_rows - int(starts[-1]),
+        )
+        return inner, summary
+
+    out_refs = [block_pass.remote(r) for r, _ in pairs]
+    inner_refs = [a for a, _ in out_refs]
+    results = [(None, *s) for s in ray.get([b for _, b in out_refs])]
+
+    # chain boundary runs: (key, global_start, total_count), merged across
+    # adjacent blocks when the key continues
+    boundary: list[tuple[Any, int, int]] = []  # finalized (key, start, n)
+    cur: tuple[Any, int, int] | None = None  # open run
+
+    def _same(a, b) -> bool:
+        return a == b or (a is None and b is None)
+
+    for i, (_, fk, lk, n_rows, first_run, last_run) in enumerate(results):
+        base = int(bases[i])
+        single = _same(fk, lk)
+        if cur is not None and _same(cur[0], fk):
+            if single:
+                cur = (cur[0], cur[1], cur[2] + n_rows)
+                continue
+            boundary.append((cur[0], cur[1], cur[2] + first_run))
+            cur = (lk, base + int(n_rows - last_run), last_run)
+            continue
+        if cur is not None:
+            boundary.append(cur)
+        if single:
+            cur = (fk, base, n_rows)
+            continue
+        boundary.append((fk, base, first_run))
+        cur = (lk, base + int(n_rows - last_run), last_run)
+    if cur is not None:
+        boundary.append(cur)
+
+    # fetch boundary keys' quantile values by global position
+    cum = bases[1:]
+    per_block: dict[int, list[int]] = {}
+    placement: list[tuple[Any, float, int, int]] = []  # key, q, block, slot
+    for bkey, bstart, bn in boundary:
+        tg = bstart + _targets(bn)
+        for q, pos in zip(qs, tg):
+            blk = int(np.searchsorted(cum, pos, side="right"))
+            off = int(pos - bases[blk])
+            slots = per_block.setdefault(blk, [])
+            placement.append((bkey, q, blk, len(slots)))
+            slots.append(off)
+
+    @ray.remote
+    def fetch(block, offsets: list[int]):
+        t = BlockAccessor.for_block(block).to_arrow()
+        col = t[val_col].take(pa.array(offsets, pa.int64()))
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    fetched = dict(
+        zip(
+            per_block,
+            ray.get(
+                [fetch.remote(pairs[b][0], offs) for b, offs in per_block.items()]
+            ),
+        )
+    )
+    if placement:
+        bvals = pa.concat_arrays(
+            [fetched[b].slice(slot, 1) for _, _, b, slot in placement]
+        )
+        btable = pa.table(
+            {
+                key_col: pa.array([k for k, _, _, _ in placement], key_type),
+                "q": pa.array([q for _, q, _, _ in placement], pa.float64()),
+                "value": bvals,
+            }
+        )
+        inner_refs.append(ray.put(btable))
+    return ray.data.from_arrow_refs(inner_refs)
+
+
+def table_profile(ds, columns: Sequence[str] | None = None):
+    """Data-quality profile: one row per column with ``n`` (non-null
+    count), ``nulls``, ``min``, ``max`` (as strings — a mixed-type profile
+    table needs one type) and ``sum`` (int64, numeric columns only; money/
+    mean stay integer-exact — divide driver-side if a float mean is
+    wanted).
+
+    One streaming pass: each batch emits an O(columns) partial, the
+    driver merges O(blocks x columns) scalars. No shuffle at all."""
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    cols = list(columns) if columns is not None else list(schema.names)
+    for c in cols:
+        if c not in schema.names:
+            raise KeyError(f"column {c!r} not in dataset ({list(schema.names)})")
+    numeric = {
+        c for c in cols if pa.types.is_integer(schema.field(c).type)
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in cols:
+            col = batch[c]
+            n_null = col.null_count
+            n = len(col) - n_null
+            names.append(c)
+            ns.append(n)
+            nulls.append(n_null)
+            if n:
+                mn = pc.min(col).as_py()
+                mx = pc.max(col).as_py()
+                mins.append(str(mn))
+                maxs.append(str(mx))
+            else:
+                mins.append(None)
+                maxs.append(None)
+            sums.append(
+                int(pc.sum(col).as_py() or 0) if (c in numeric and n) else None
+            )
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min": pa.array(mins, pa.string()),
+                "max": pa.array(maxs, pa.string()),
+                "sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, dict] = {
+        c: {"n": 0, "nulls": 0, "min": None, "max": None, "sum": 0} for c in cols
+    }
+    types = {c: schema.field(c).type for c in cols}
+
+    def _cast(c, s):
+        t = types[c]
+        if s is None:
+            return None
+        if pa.types.is_integer(t):
+            return int(s)
+        if pa.types.is_floating(t):
+            return float(s)
+        return s
+
+    for r in partials:
+        a = agg[r["column"]]
+        a["n"] += r["n"]
+        a["nulls"] += r["nulls"]
+        for k, op in (("min", min), ("max", max)):
+            v = _cast(r["column"], r[k])
+            if v is not None:
+                a[k] = v if a[k] is None else op(a[k], v)
+        if r["sum"] is not None:
+            a["sum"] += r["sum"]
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n": pa.array([agg[c]["n"] for c in cols], pa.int64()),
+            "nulls": pa.array([agg[c]["nulls"] for c in cols], pa.int64()),
+            "min": pa.array(
+                [None if agg[c]["min"] is None else str(agg[c]["min"]) for c in cols],
+                pa.string(),
+            ),
+            "max": pa.array(
+                [None if agg[c]["max"] is None else str(agg[c]["max"]) for c in cols],
+                pa.string(),
+            ),
+            "sum": pa.array(
+                [agg[c]["sum"] if c in numeric else None for c in cols], pa.int64()
+            ),
+        }
+    )

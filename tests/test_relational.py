@@ -164,3 +164,113 @@ def test_broadcast_join_dim_as_dataset_and_chain(ray_session):
     out = broadcast_join(broadcast_join(fact, d1, on="a"), d2, on="b")
     rows = sorted((r["x"], r["label"]) for r in out.take_all())
     assert rows == [(1.0, "ten"), (2.0, "twenty"), (3.0, "twenty")]
+
+
+# ---------------------------------------------------------------------------
+# group_quantiles
+# ---------------------------------------------------------------------------
+
+
+def _gq_reference(df, key, val, qs):
+    out = {}
+    for kv, g in df.groupby(key, dropna=False):
+        kv = None if pd.isna(kv) else kv
+        vv = np.sort(g[val].dropna().to_numpy())
+        if len(vv) == 0:
+            continue
+        for q in qs:
+            idx = max(0, math.ceil(q * len(vv) - 1e-9) - 1)
+            out[(kv, q)] = vv[idx]
+    return out
+
+
+def test_group_quantiles_matches_reference_and_duckdb(ray_session):
+    import duckdb
+
+    from liken_ray.extras.relational import group_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["en", "de", "fr", "pt", "zz"], size=n),
+            "x": rng.integers(0, 10_000, size=n),
+        }
+    )
+    qs = [0.25, 0.5, 0.9]
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = {
+        (r["lang"], r["q"]): r["value"]
+        for r in group_quantiles(ds, "lang", "x", qs).take_all()
+    }
+    assert got == _gq_reference(df, "lang", "x", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = {
+        (k, q): v
+        for k, q, v in con.execute(
+            f"SELECT lang, unnest(CAST({qs} AS DOUBLE[])) AS q, "
+            f"unnest(quantile_disc(x, {qs})) AS value FROM t GROUP BY lang"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_group_quantiles_hot_key_spans_blocks_and_nulls(ray_session):
+    from liken_ray.extras.relational import group_quantiles
+
+    # one key whose run fills many blocks + null keys + null values
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * 3000 + ["cold"] * 5 + [None] * 4,
+            "v": list(range(3000)) + [10, 30, 20, 50, 40] + [7, None, 5, 6],
+        }
+    )
+    ds = ray.data.from_pandas(df.sample(frac=1, random_state=0)).repartition(12)
+    got = {
+        (r["k"], r["q"]): r["value"]
+        for r in group_quantiles(ds, "k", "v", [0.5, 1.0]).take_all()
+    }
+    assert got == _gq_reference(df, "k", "v", [0.5, 1.0])
+    assert got[("hot", 0.5)] == 1499 and got[("hot", 1.0)] == 2999
+    assert got[(None, 1.0)] == 7
+
+
+def test_group_quantiles_empty_and_validation(ray_session):
+    from liken_ray.extras.relational import group_quantiles
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [1]}))
+    with pytest.raises(ValueError):
+        group_quantiles(ds, "k", "v", [])
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    assert group_quantiles(empty, "k", "v", [0.5]).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# table_profile
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_matches_pandas(ray_session):
+    from liken_ray.extras.relational import table_profile
+
+    df = pd.DataFrame(
+        {
+            "i": [3, None, 1, 7, None],
+            "s": ["b", "a", None, "z", "a"],
+        }
+    ).astype({"i": "Int64"})
+    ds = ray.data.from_arrow(
+        pa.table({"i": pa.array([3, None, 1, 7, None], pa.int64()),
+                  "s": pa.array(["b", "a", None, "z", "a"])})
+    ).repartition(3)
+    out = table_profile(ds)
+    rows = {r["column"]: r for r in out.to_pylist()}
+    assert rows["i"] == {"column": "i", "n": 3, "nulls": 2, "min": "1",
+                         "max": "7", "sum": 11}
+    assert rows["s"] == {"column": "s", "n": 4, "nulls": 1, "min": "a",
+                         "max": "z", "sum": None}
+    with pytest.raises(KeyError):
+        table_profile(ds, ["nope"])

@@ -820,6 +820,18 @@ def _length_quantiles_per_lang(sf_dir: str):
     )
 
 
+def _common_gram_coverage_documents(sf_dir: str):
+    """CCNet-style common-gram coverage: corpus top-50 bigrams (from the
+    vocabulary pass) broadcast once, per-doc membership by searchsorted
+    over gram hashes — a composition of corpus_ngram_counts + the
+    broadcast-semi-join idiom; the oracle joins gram STRINGS."""
+    from liken_ray.extras.curation import common_gram_coverage
+
+    return common_gram_coverage(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=2, top_k=50
+    )
+
+
 def _profile_documents(sf_dir: str):
     """Per-column data-quality profile (n / nulls / min / max / integer
     sum): one streaming pass of O(columns) partials, O(blocks x columns)
@@ -973,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counters_documents": _cms_counters_documents,
         "length_quantiles_per_lang": _length_quantiles_per_lang,
         "profile_documents": _profile_documents,
+        "common_gram_coverage_documents": _common_gram_coverage_documents,
     }
 
 
@@ -1561,4 +1574,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE n_chars IS NOT NULL GROUP BY lang"
         ),
         "profile_documents": _profile_sql(),
+        # corpus top-50 bigram coverage per doc; norm/grams CTEs shared
+        # with the corpus_ngram oracle. The engine selects top grams by
+        # 64-bit hash equality and ties (cnt desc, gram asc) — the SQL
+        # replica uses the STRINGS, so a collision or tie drift fails here
+        "common_gram_coverage_documents": (
+            "WITH norm AS (SELECT doc_id, string_split(regexp_replace("
+            "trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+            "'\\s+', ' ', 'g'), ' ') AS toks FROM documents WHERE text IS NOT NULL), "
+            "grams AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS gram "
+            "FROM norm WHERE len(toks) >= 2 AND toks[1] <> ''), "
+            "vocab AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram "
+            "QUALIFY row_number() OVER (ORDER BY c DESC, gram) <= 50), "
+            "per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN v.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS common_grams FROM grams g LEFT JOIN vocab v USING (gram) "
+            "GROUP BY g.doc_id) "
+            "SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams, "
+            "COALESCE(p.common_grams, 0) AS common_grams "
+            "FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
     }

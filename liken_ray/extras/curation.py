@@ -1126,3 +1126,79 @@ def shuffle_positions(ds, id_col: str = "doc_id", salt: int = 0):
     return ray.data.from_arrow_refs(
         [tag.remote(ref, int(b)) for (ref, _), b in zip(pairs, bases)]
     )
+
+
+# ---------------------------------------------------------------------------
+# common-gram coverage (CCNet-style corpus-frequency quality signal)
+# ---------------------------------------------------------------------------
+
+
+def common_gram_coverage(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    top_k: int = 100,
+):
+    """Per-document coverage by the corpus's ``top_k`` most frequent
+    word n-grams — the CCNet-flavored signal that separates natural
+    running text (high common-gram share) from boilerplate/gibberish.
+    Returns ``(id, n_grams, common_grams)``; divide driver-side for the
+    float fraction.
+
+    Two composed passes of existing machinery: (1) ``corpus_ngram_counts``
+    builds the global vocabulary (partial combine -> one sort -> stitch);
+    its top-``k`` rows by (cnt desc, gram asc) are selected by per-block
+    LOCAL top-k + an O(blocks x k) driver merge (a global top-k element is
+    in its block's top-k). (2) The winners' polynomial hashes (rehashed
+    with the SAME gram hash the vocabulary used) broadcast via ``ray.put``
+    once, and a second streaming pass counts per-document membership by
+    searchsorted — no second shuffle, no join."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    import ray
+    import ray.data
+
+    counts = corpus_ngram_counts(ds, n=n, min_count=1, text_col=text_col)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        t = t.select(["gram", "cnt"])
+        if t.num_rows <= top_k:
+            return t
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("gram", "ascending")]
+        )
+        return t.take(idx.slice(0, top_k))
+
+    pool = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    pool.sort(key=lambda r: (-r["cnt"], r["gram"]))
+    top_grams = [r["gram"] for r in pool[:top_k]]
+    # rehash the winning gram STRINGS with the vocabulary's own hash: each
+    # gram is exactly n tokens, so it contributes exactly one hash
+    th, _ = gram_hashes(top_grams, n)
+    top_ref = ray.put(np.sort(th))
+
+    def coverage(batch: pa.Table) -> pa.Table:
+        top = ray.get(top_ref)
+        h, row_off = gram_hashes(batch[text_col].to_pylist(), n)
+        nrows = batch.num_rows
+        totals = np.diff(row_off).astype(np.int64)
+        if len(h) and len(top):
+            pos = np.searchsorted(top, h)
+            pos_c = np.clip(pos, 0, len(top) - 1)
+            hit = (top[pos_c] == h).astype(np.int64)
+            row_rep = np.repeat(np.arange(nrows, dtype=np.int64), totals)
+            common = np.bincount(row_rep, weights=hit, minlength=nrows).astype(
+                np.int64
+            )
+        else:
+            common = np.zeros(nrows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(totals, pa.int64()),
+                "common_grams": pa.array(common, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(coverage, batch_format="pyarrow")

@@ -500,3 +500,60 @@ def test_shuffle_positions_empty(ray_session):
 
     ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     assert shuffle_positions(ds, "doc_id").take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# common_gram_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_common_gram_coverage_matches_reference(ray_session):
+    import collections
+    import re
+
+    import ray.data
+
+    from liken_ray.extras.curation import common_gram_coverage
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 12))))
+        for _ in range(400)
+    ] + [None, "", "solo"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(7)
+    K = 10
+    got = {r["doc_id"]: (r["n_grams"], r["common_grams"])
+           for r in common_gram_coverage(ds, n=2, top_k=K).take_all()}
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", (t or "").strip()).split(" ")
+        if toks == [""] or len(toks) < 2:
+            return []
+        return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+    cnt = collections.Counter(g for t in texts for g in grams(t))
+    top = set(g for g, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+    want = {
+        i: (len(grams(t)), sum(1 for g in grams(t) if g in top))
+        for i, t in zip(ids, texts)
+    }
+    assert got == want
+    assert any(c > 0 for _, c in got.values())  # signal actually fires
+
+
+def test_common_gram_coverage_validates(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import common_gram_coverage
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["a b"], pa.string())})
+    )
+    with pytest.raises(ValueError):
+        common_gram_coverage(ds, top_k=0)

@@ -96,3 +96,31 @@ def test_sequential_chaining_refines_transitively(values):
         lk.dedupe(df).apply(lk.exact()).apply(lk.exact()).canonicalize("v").collect()
     )
     assert list(once[CANONICAL_ID]) == list(twice[CANONICAL_ID])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=20),
+)
+def test_batch_gram_fingerprints_equals_per_row(texts, gram_len, window):
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in texts], out=offsets[1:])
+    fps, row_off = sx.batch_gram_fingerprints(buf, offsets, gram_len, window)
+    assert row_off[0] == 0 and row_off[-1] == len(fps)
+    for r, t in enumerate(texts):
+        got = fps[row_off[r]:row_off[r + 1]]
+        want = sx.gram_fingerprints(t, gram_len, window)
+        assert np.array_equal(got, want), (r, t, gram_len, window)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=2**64 - 1), min_size=1, max_size=50))
+def test_floor_log2_u64_exact(values):
+    from liken_ray.extras.sketches import _floor_log2_u64
+
+    arr = np.array(values, dtype=np.uint64)
+    got = _floor_log2_u64(arr)
+    assert got.tolist() == [v.bit_length() - 1 for v in values]

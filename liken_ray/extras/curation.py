@@ -1090,7 +1090,15 @@ def shuffle_positions(ds, id_col: str = "doc_id", salt: int = 0):
     from ray.data.block import BlockAccessor
 
     def keyize(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            # a null id has no hash: it would collapse with every other
+            # null into one arbitrary-order tie, breaking the
+            # rerun-independence this op exists to provide
+            raise ValueError(f"{id_col!r} contains nulls; shuffle ids must be set")
+        ids = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
         h = splitmix64(ids.view(np.uint64) + _salt64(salt))
         return pa.table(
             {id_col: batch[id_col], "_sh": pa.array(h, pa.uint64())}

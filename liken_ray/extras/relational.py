@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.block import BlockAccessor
 
-from liken_ray.extras.joins import _key_change, _schema, _to_arrow_blocks
+from liken_ray.extras.joins import _schema, _to_arrow_blocks
 
 
 def _zero_scalar(t: pa.DataType):
@@ -40,6 +40,30 @@ def _zero_scalar(t: pa.DataType):
     if pa.types.is_temporal(t):
         return pa.scalar(0, type=pa.int64()).cast(t)
     return pa.scalar(0, type=t)
+
+
+def _sentinel_key_change(t: pa.Table, null_col: str, key_col: str) -> np.ndarray:
+    """Run-starts mask from the sentinel (is_null flag, filled key) pair —
+    arrow-side comparison, so null-bearing int64 keys never round-trip
+    through float64 (raw ``to_numpy`` on such a column garbles values
+    above 2^53 and collapses distinct keys)."""
+    n = t.num_rows
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        key = t[key_col]
+        nul = t[null_col]
+        neq = pc.or_(
+            pc.not_equal(key.slice(1), key.slice(0, n - 1)),
+            pc.not_equal(nul.slice(1), nul.slice(0, n - 1)),
+        )
+        change[1:] = neq.to_numpy(zero_copy_only=False)
+    return change
+
+
+def _sentinel_ident(t: pa.Table, null_col: str, key_col: str, i: int) -> tuple:
+    """Cross-block key identity at row ``i``: the exact (is_null, filled)
+    pair as plain Python values."""
+    return (bool(t[null_col][i].as_py()), t[key_col][i].as_py())
 
 
 def _nonempty_block_refs(srt):
@@ -113,49 +137,38 @@ def group_topk(
     @ray.remote
     def summarize(block) -> dict:
         t = BlockAccessor.for_block(block).to_arrow()
-        key = t[key_col]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        vals = key.to_numpy(zero_copy_only=False)
-        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
-        change = _key_change(vals, nullm)
+        change = _sentinel_key_change(t, "_gk_null", "_gk_key")
         starts = np.flatnonzero(change)
         return {
-            "first_key": key[0].as_py(),
-            "last_key": key[-1].as_py(),
+            "first_key": _sentinel_ident(t, "_gk_null", "_gk_key", 0),
+            "last_key": _sentinel_ident(t, "_gk_null", "_gk_key", t.num_rows - 1),
             "n_rows": t.num_rows,
             "last_run": t.num_rows - int(starts[-1]),
         }
 
     summaries = ray.get([summarize.remote(r) for r in refs])
     # chain rank offsets across blocks: carry[i] = rows of block i's first
-    # key already seen in earlier blocks
+    # key already seen in earlier blocks. Key identity is the sentinel
+    # (is_null, filled) tuple — exact for every type incl. null-bearing
+    # int64 columns (raw to_numpy would round values above 2^53 through
+    # float64 and collapse distinct keys)
     carries: list[int] = []
     cur_key: Any = object()  # sentinel unequal to every real key
     cur_count = 0
     for s in summaries:
-        same = s["first_key"] == cur_key or (s["first_key"] is None and cur_key is None)
-        carry = cur_count if same else 0
+        carry = cur_count if s["first_key"] == cur_key else 0
         carries.append(carry)
-        if s["first_key"] == s["last_key"] or (
-            s["first_key"] is None and s["last_key"] is None
-        ):
-            cur_key = s["last_key"]
+        cur_key = s["last_key"]
+        if s["first_key"] == s["last_key"]:
             cur_count = carry + s["n_rows"]
         else:
-            cur_key = s["last_key"]
             cur_count = s["last_run"]
 
     @ray.remote
     def finalize(block, carry: int):
         t = BlockAccessor.for_block(block).to_arrow()
         n = t.num_rows
-        key = t[key_col]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        vals = key.to_numpy(zero_copy_only=False)
-        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
-        change = _key_change(vals, nullm)
+        change = _sentinel_key_change(t, "_gk_null", "_gk_key")
         starts = np.flatnonzero(change)
         seg = np.cumsum(change) - 1
         rank = np.arange(n, dtype=np.int64) - starts[seg]
@@ -257,8 +270,6 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
     O(straddling-keys x qs) target values by block-offset lookup, the
     ``quantiles`` fetch pattern. Driver work is O(blocks x qs), never
     O(keys)."""
-    import math
-
     qs = list(qs)
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
@@ -315,9 +326,9 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
         key = t[key_col]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        vals = key.to_numpy(zero_copy_only=False)
-        nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
-        change = _key_change(vals, nullm)
+        # run detection + identity via the sentinel pair: exact for
+        # null-bearing int64 keys (raw to_numpy would go through float64)
+        change = _sentinel_key_change(t, "_gq_null", "_gq_key")
         starts = np.flatnonzero(change)
         ends = np.r_[starts[1:], t.num_rows]
         nq = len(qarr)
@@ -342,8 +353,8 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
             inner = empty
         first_run = int(starts[1]) if len(starts) > 1 else t.num_rows
         summary = (
-            key[0].as_py(),
-            key[-1].as_py(),
+            _sentinel_ident(t, "_gq_null", "_gq_key", 0),
+            _sentinel_ident(t, "_gq_null", "_gq_key", t.num_rows - 1),
             t.num_rows,
             first_run,
             t.num_rows - int(starts[-1]),
@@ -354,13 +365,14 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
     inner_refs = [a for a, _ in out_refs]
     results = [(None, *s) for s in ray.get([b for _, b in out_refs])]
 
-    # chain boundary runs: (key, global_start, total_count), merged across
-    # adjacent blocks when the key continues
-    boundary: list[tuple[Any, int, int]] = []  # finalized (key, start, n)
+    # chain boundary runs: (key identity, global_start, total_count),
+    # merged across adjacent blocks when the key continues. Identities are
+    # the (is_null, filled) tuples, so plain == is exact for every type
+    boundary: list[tuple[Any, int, int]] = []  # finalized (ident, start, n)
     cur: tuple[Any, int, int] | None = None  # open run
 
     def _same(a, b) -> bool:
-        return a == b or (a is None and b is None)
+        return a == b
 
     for i, (_, fk, lk, n_rows, first_run, last_run) in enumerate(results):
         base = int(bases[i])
@@ -415,7 +427,11 @@ def group_quantiles(ds, key_col: str, val_col: str, qs: Sequence[float]):
         )
         btable = pa.table(
             {
-                key_col: pa.array([k for k, _, _, _ in placement], key_type),
+                # identity tuple back to the original key value: the
+                # filled value IS the original unless the null flag is set
+                key_col: pa.array(
+                    [None if k[0] else k[1] for k, _, _, _ in placement], key_type
+                ),
                 "q": pa.array([q for _, q, _, _ in placement], pa.float64()),
                 "value": bvals,
             }
@@ -481,6 +497,12 @@ def table_profile(ds, columns: Sequence[str] | None = None):
     types = {c: schema.field(c).type for c in cols}
 
     def _cast(c, s):
+        # the per-block partial stringifies min/max (one schema for a
+        # mixed-type profile); merging must compare in the NATIVE domain
+        # or "10.2" < "9.5" lexicographically. Strings compare as-is
+        # (UTF-8 byte order == code-point order) and ISO-formatted
+        # temporals compare correctly as strings; numeric/decimal/bool
+        # round-trip exactly through their parsers.
         t = types[c]
         if s is None:
             return None
@@ -488,6 +510,12 @@ def table_profile(ds, columns: Sequence[str] | None = None):
             return int(s)
         if pa.types.is_floating(t):
             return float(s)
+        if pa.types.is_decimal(t):
+            import decimal
+
+            return decimal.Decimal(s)
+        if pa.types.is_boolean(t):
+            return s == "True"
         return s
 
     for r in partials:

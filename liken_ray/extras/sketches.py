@@ -23,6 +23,27 @@ import pyarrow.compute as pc
 from liken_ray.extras.curation import _salt64, splitmix64
 
 
+def _exact_int64_values(col) -> np.ndarray:
+    """Non-null values of an int64 column as an EXACT int64 numpy array.
+    ``to_numpy(zero_copy_only=False)`` on a null-bearing int64 arrow array
+    goes through float64 and silently garbles values above 2^53 — so drop
+    nulls FIRST (the resulting array converts on the integer path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _collect_table(obj, schema: pa.Schema) -> pa.Table:
+    """A Dataset or pyarrow Table as ONE table; an empty Dataset (zero
+    batches) yields the empty table of ``schema`` instead of crashing
+    pa.concat_tables."""
+    if isinstance(obj, pa.Table):
+        return obj
+    batches = list(obj.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.concat_tables(batches) if batches else schema.empty_table()
+
+
 def _floor_log2_u64(x: np.ndarray) -> np.ndarray:
     """Exact floor(log2(x)) for uint64 x > 0 — branchless doubling, no
     float round-trip (float64 is wrong above 2^53)."""
@@ -64,12 +85,9 @@ def hll_registers(ds, col: str, p: int = 12, salt: int = 0):
     import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch[col]
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
-        v = vals.to_numpy(zero_copy_only=False)
-        v = np.asarray(v[valid], dtype=np.int64)
+        # drop_null BEFORE to_numpy: a null-bearing int64 arrow array
+        # converts via float64, silently garbling values above 2^53
+        v = _exact_int64_values(batch[col])
         if len(v) == 0:
             return pa.table(
                 {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
@@ -149,12 +167,9 @@ def hll_estimate(registers, p: int = 12) -> float:
     if isinstance(registers, tuple):
         bucket, rho = registers
     else:
-        tbl = (
-            registers
-            if isinstance(registers, pa.Table)
-            else pa.concat_tables(
-                registers.iter_batches(batch_format="pyarrow", batch_size=None)
-            )
+        tbl = _collect_table(
+            registers,
+            pa.schema([("bucket", pa.int64()), ("rho", pa.int64())]),
         )
         bucket = tbl["bucket"].to_numpy(zero_copy_only=False)
         rho = tbl["rho"].to_numpy(zero_copy_only=False)
@@ -317,11 +332,9 @@ def cms_counters(ds, col: str, d: int = 4, w: int = 2048, salt: int = 0):
     import ray.data
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch[col]
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
-        v = np.asarray(vals.to_numpy(zero_copy_only=False)[valid], dtype=np.int64)
+        # see _exact_int64_values: nulls must drop before to_numpy or
+        # int64 values above 2^53 garble through float64
+        v = _exact_int64_values(batch[col])
         if len(v) == 0:
             return pa.table(
                 {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
@@ -408,18 +421,21 @@ def cms_query(
     """Frequency upper-bound estimates for ``values`` from a
     ``(row, bucket, cnt)`` counter table (Dataset or pyarrow Table):
     min over the d rows' counters."""
-    tbl = (
-        counters
-        if isinstance(counters, pa.Table)
-        else pa.concat_tables(
-            counters.iter_batches(batch_format="pyarrow", batch_size=None)
-        )
+    tbl = _collect_table(
+        counters,
+        pa.schema(
+            [("row", pa.int64()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+        ),
     )
     mat = np.zeros((d, w), dtype=np.int64)
     rows = tbl["row"].to_numpy(zero_copy_only=False)
     buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
     cnts = tbl["cnt"].to_numpy(zero_copy_only=False)
-    mat[rows, buckets] = cnts
+    # add, not assign: a merged (concatenated) counter table legitimately
+    # repeats cells — CMS merge is per-cell SUM, and last-write-wins would
+    # break the never-underestimate guarantee
+    np.add.at(mat, (np.asarray(rows, dtype=np.int64),
+                    np.asarray(buckets, dtype=np.int64)), cnts)
     v = np.asarray(values, dtype=np.int64)
     b = _cms_buckets(v, d, w, salt)
     ests = mat[np.arange(d)[:, None], b]

@@ -557,3 +557,15 @@ def test_common_gram_coverage_validates(ray_session):
     )
     with pytest.raises(ValueError):
         common_gram_coverage(ds, top_k=0)
+
+
+def test_shuffle_positions_rejects_null_ids(ray_session):
+    import ray.data
+
+    from liken_ray.extras.curation import shuffle_positions
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, None, 3], pa.int64())})
+    )
+    with pytest.raises(Exception, match="nulls"):
+        shuffle_positions(ds, "doc_id").take_all()

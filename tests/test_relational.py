@@ -274,3 +274,40 @@ def test_table_profile_matches_pandas(ray_session):
                          "max": "z", "sum": None}
     with pytest.raises(KeyError):
         table_profile(ds, ["nope"])
+
+
+def test_group_topk_huge_int_keys_with_nulls(ray_session):
+    """Distinct int64 keys above 2^53 in a null-bearing column must stay
+    distinct (raw to_numpy would round them through float64)."""
+    from liken_ray.extras.relational import group_topk
+
+    a, b = 2**63 - 2, 2**63 - 1
+    df = pa.table(
+        {
+            "k": pa.array([a] * 3 + [b] * 3 + [None], pa.int64()),
+            "s": pa.array([1, 2, 3, 4, 5, 6, 9], pa.int64()),
+            "id": pa.array(list(range(7)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(df).repartition(4)
+    rows = group_topk(ds, "k", "s", 1, tie_col="id").take_all()
+    got = {r["k"]: r["s"] for r in rows}
+    assert got == {a: 3, b: 6, None: 9}
+
+
+def test_group_quantiles_huge_int_keys_with_nulls(ray_session):
+    from liken_ray.extras.relational import group_quantiles
+
+    a, b = 2**63 - 2, 2**63 - 1
+    df = pa.table(
+        {
+            "k": pa.array([a] * 3 + [b] * 3 + [None], pa.int64()),
+            "v": pa.array([1, 2, 3, 40, 50, 60, 9], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(df).repartition(4)
+    got = {
+        (r["k"], r["q"]): r["value"]
+        for r in group_quantiles(ds, "k", "v", [1.0]).take_all()
+    }
+    assert got == {(a, 1.0): 3, (b, 1.0): 60, (None, 1.0): 9}

@@ -59,7 +59,8 @@ def test_hll_nulls_empty_and_validation(ray_session):
     assert hll_registers(empty, "x").take_all() == []
     assert hll_estimate(pa.table(
         {"bucket": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
-    )) == 0.0 or True  # linear counting of all-zero registers -> 0
+    )) == 0.0  # linear counting of all-zero registers -> 0
+    assert hll_estimate(hll_registers(empty, "x")) == 0.0  # empty Dataset
     with pytest.raises(ValueError):
         hll_registers(ds, "x", p=3)
 
@@ -184,3 +185,51 @@ def test_cms_validation_and_merge_by_sum(ray_session):
     for k, v in cb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cab
+
+
+# ---------------------------------------------------------------------------
+# regression: int64 values above 2^53 must not round through float64
+# ---------------------------------------------------------------------------
+
+
+def test_hll_exact_for_huge_ints_with_nulls(ray_session):
+    vals = [2**63 - 1, 2**53 + 1, 2**53 + 3, None]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = {r["bucket"]: r["rho"] for r in hll_registers(ds, "x", p=12).take_all()}
+    assert got == _reference_registers([v for v in vals if v is not None], 12)
+
+
+def test_cms_exact_for_huge_ints_with_nulls(ray_session):
+    from liken_ray.extras.sketches import _cms_buckets, cms_counters, cms_query
+
+    vals = [2**63 - 1, 2**63 - 1, 2**53 + 1, None]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    counters = cms_counters(ds, "x", d=2, w=64)
+    est = cms_query(counters, np.array([2**63 - 1, 2**53 + 1], dtype=np.int64),
+                    d=2, w=64)
+    assert est[0] >= 2 and est[1] >= 1
+    # exact reference registers
+    ref = {}
+    b = _cms_buckets(np.array([v for v in vals if v is not None], dtype=np.int64), 2, 64, 0)
+    for r in range(2):
+        for bucket in b[r]:
+            ref[(r, int(bucket))] = ref.get((r, int(bucket)), 0) + 1
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in counters.take_all()}
+    assert got == ref
+
+
+def test_cms_query_sums_duplicate_cells():
+    """A concatenation of two counter tables (the documented merge) must
+    SUM duplicated cells, not last-write-wins."""
+    from liken_ray.extras.sketches import _cms_buckets, cms_query
+
+    v = np.array([42], dtype=np.int64)
+    b = _cms_buckets(v, 2, 64, 0)
+    t = pa.table(
+        {
+            "row": pa.array([0, 1, 0, 1], pa.int64()),
+            "bucket": pa.array([int(b[0][0]), int(b[1][0])] * 2, pa.int64()),
+            "cnt": pa.array([3, 3, 4, 4], pa.int64()),
+        }
+    )
+    assert cms_query(t, v, d=2, w=64)[0] == 7

@@ -45,6 +45,18 @@ _MIX2 = 0x94D049BB133111EB
 _POW_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
+def _exact_ids(col, name: str) -> np.ndarray:
+    """An id column as an EXACT int64 numpy array. Null-bearing int64
+    arrow columns convert via float64 (garbling ids above 2^53), so null
+    ids are rejected loudly — every op taking ``id_col`` keys its
+    semantics on the id, and a null id has none."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(f"{name!r} contains nulls; row ids must be set")
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 def _salt64(salt: int) -> np.uint64:
     """Any python int (incl. negative) as a wrapped uint64 — np.uint64(-1)
     is an OverflowError on numpy >= 2."""
@@ -102,7 +114,7 @@ def hash_split(
     bounds = np.array([b for _, b in thresholds], dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _exact_ids(batch[id_col], id_col)
         with np.errstate(over="ignore"):
             h = splitmix64(ids.view(np.uint64) + _salt64(salt))
         bucket = (h % np.uint64(buckets)).astype(np.int64)
@@ -607,7 +619,7 @@ def _broadcast_keep(ds, win_ref, id_col: str):
         from liken_ray.engine.components import sorted_membership_mask
 
         want = ray.get(win_ref)
-        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = _exact_ids(batch[id_col], id_col)
         return batch.filter(pa.array(sorted_membership_mask(rid, want)))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
@@ -637,7 +649,7 @@ def hash_sample(
         raise ValueError(f"k must be positive, got {k}")
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _exact_ids(batch[id_col], id_col)
         pr = _sample_priorities(ids, salt)
         if len(pr) > k:
             keep = np.argpartition(pr, k)[:k]
@@ -674,7 +686,7 @@ def stratified_sample(
         raise ValueError(f"k must be positive, got {k}")
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = _exact_ids(batch[id_col], id_col)
         pr = _sample_priorities(ids, salt)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
@@ -898,7 +910,7 @@ def cross_corpus_dedup(
     def keep_rows(batch: pa.Table) -> pa.Table:
         from liken_ray.engine.components import sorted_membership_mask
 
-        rid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = _exact_ids(batch[id_col], id_col)
         drop = sorted_membership_mask(rid, ray.get(win_ref))
         return batch.filter(pa.array(~drop)).drop_columns(["_xc_h", "_xc_hit"])
 
@@ -1090,15 +1102,7 @@ def shuffle_positions(ds, id_col: str = "doc_id", salt: int = 0):
     from ray.data.block import BlockAccessor
 
     def keyize(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if col.null_count:
-            # a null id has no hash: it would collapse with every other
-            # null into one arbitrary-order tie, breaking the
-            # rerun-independence this op exists to provide
-            raise ValueError(f"{id_col!r} contains nulls; shuffle ids must be set")
-        ids = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = _exact_ids(batch[id_col], id_col)
         h = splitmix64(ids.view(np.uint64) + _salt64(salt))
         return pa.table(
             {id_col: batch[id_col], "_sh": pa.array(h, pa.uint64())}

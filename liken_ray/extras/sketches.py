@@ -44,6 +44,71 @@ def _collect_table(obj, schema: pa.Schema) -> pa.Table:
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def _sorted_seg_reduce(parts, key_col: str, val_col: str, op: str, key_type):
+    """The repo's sorted merge idiom, shared by every sketch in this
+    module: sort the (key, value) partials by ``key_col`` — the only
+    shuffle — then reduce each key run per block (``op``: "sum" or
+    "max") with the first/last runs marked as edges. Returns
+    ``(inner, edge_rows)``: ``inner`` is a Dataset whose rows carry FINAL
+    per-key values (interior runs cannot straddle a block boundary after
+    a global sort), ``edge_rows`` is the O(blocks) list the caller must
+    driver-merge with the same ``op``. Keys compare arrow-side, so any
+    key type works and null-bearing int64 never round-trips float64."""
+    srt = parts.sort(key_col).materialize()
+
+    def seg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    val_col: pa.array([], pa.int64()),
+                    "_edge": pa.array([], pa.bool_()),
+                }
+            )
+        kcol = t[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        n = len(kcol)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = pc.not_equal(
+                kcol.slice(1), kcol.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(new)
+        if op == "sum":
+            ends = np.r_[starts[1:], n]
+            cs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(v, out=cs[1:])
+            red = cs[ends] - cs[starts]
+        else:
+            seg_ids = np.cumsum(new) - 1
+            red = np.zeros(len(starts), dtype=np.int64)
+            np.maximum.at(red, seg_ids, v)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        return pa.table(
+            {
+                key_col: kcol.take(pa.array(starts, pa.int64())),
+                val_col: pa.array(red, pa.int64()),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    blocks = srt.map_batches(seg, batch_format="pyarrow", batch_size=None)
+    blocks = blocks.materialize()
+    inner = blocks.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    ).take_all()
+    return inner, edge_rows
+
+
 def _floor_log2_u64(x: np.ndarray) -> np.ndarray:
     """Exact floor(log2(x)) for uint64 x > 0 — branchless doubling, no
     float round-trip (float64 is wrong above 2^53)."""
@@ -105,45 +170,7 @@ def hll_registers(ds, col: str, p: int = 12, salt: int = 0):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    srt = parts.sort("bucket").materialize()
-
-    def seg_max(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "rho": pa.array([], pa.int64()),
-                    "_edge": pa.array([], pa.bool_()),
-                }
-            )
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        r = t["rho"].to_numpy(zero_copy_only=False)
-        new = np.ones(len(b), dtype=bool)
-        new[1:] = b[1:] != b[:-1]
-        starts = np.flatnonzero(new)
-        seg = np.cumsum(new) - 1
-        mx = np.zeros(len(starts), dtype=np.int64)
-        np.maximum.at(mx, seg, r)
-        edge = np.zeros(len(starts), dtype=bool)
-        edge[0] = True
-        edge[-1] = True
-        return pa.table(
-            {
-                "bucket": pa.array(b[starts], pa.int64()),
-                "rho": pa.array(mx, pa.int64()),
-                "_edge": pa.array(edge),
-            }
-        )
-
-    blocks = srt.map_batches(seg_max, batch_format="pyarrow", batch_size=None)
-    blocks = blocks.materialize()
-    inner = blocks.map_batches(
-        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
-    edge_rows = blocks.map_batches(
-        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
-    ).take_all()
+    inner, edge_rows = _sorted_seg_reduce(parts, "bucket", "rho", "max", pa.int64())
     merged: dict[int, int] = {}
     for row in edge_rows:
         k = row["bucket"]
@@ -229,45 +256,9 @@ def frequent_items(ds, col: str, k: int = 10):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    srt = parts.sort("value").materialize()
-
-    def seg(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "value": pa.array([], val_type),
-                    "cnt": pa.array([], pa.int64()),
-                    "_edge": pa.array([], pa.bool_()),
-                }
-            )
-        v = t["value"]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        c = t["cnt"].to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(v.slice(1), v.slice(0, len(v) - 1))
-        new = np.ones(len(v), dtype=bool)
-        if len(v) > 1:
-            new[1:] = neq.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(v)]
-        cs = np.zeros(len(v) + 1, dtype=np.int64)
-        np.cumsum(c, out=cs[1:])
-        edge = np.zeros(len(starts), dtype=bool)
-        edge[0] = True
-        edge[-1] = True
-        return pa.table(
-            {
-                "value": v.take(pa.array(starts, pa.int64())),
-                "cnt": pa.array(cs[ends] - cs[starts], pa.int64()),
-                "_edge": pa.array(edge),
-            }
-        )
-
-    blocks = srt.map_batches(seg, batch_format="pyarrow", batch_size=None)
-    blocks = blocks.materialize()
+    inner, edge_rows = _sorted_seg_reduce(parts, "value", "cnt", "sum", val_type)
 
     def local_topk(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"])
         if t.num_rows <= k:
             return t
         idx = pc.sort_indices(
@@ -275,10 +266,7 @@ def frequent_items(ds, col: str, k: int = 10):
         )
         return t.take(idx.slice(0, k))
 
-    candidates = blocks.map_batches(local_topk, batch_format="pyarrow").take_all()
-    edge_rows = blocks.map_batches(
-        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]), batch_format="pyarrow"
-    ).take_all()
+    candidates = inner.map_batches(local_topk, batch_format="pyarrow").take_all()
     merged: dict = {}
     for row in edge_rows:
         merged[row["value"]] = merged.get(row["value"], 0) + row["cnt"]
@@ -351,45 +339,7 @@ def cms_counters(ds, col: str, d: int = 4, w: int = 2048, salt: int = 0):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    srt = parts.sort("cell").materialize()
-
-    def seg_sum(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "cell": pa.array([], pa.int64()),
-                    "cnt": pa.array([], pa.int64()),
-                    "_edge": pa.array([], pa.bool_()),
-                }
-            )
-        cl = t["cell"].to_numpy(zero_copy_only=False)
-        c = t["cnt"].to_numpy(zero_copy_only=False)
-        new = np.ones(len(cl), dtype=bool)
-        new[1:] = cl[1:] != cl[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(cl)]
-        cs = np.zeros(len(cl) + 1, dtype=np.int64)
-        np.cumsum(c, out=cs[1:])
-        edge = np.zeros(len(starts), dtype=bool)
-        edge[0] = True
-        edge[-1] = True
-        return pa.table(
-            {
-                "cell": pa.array(cl[starts], pa.int64()),
-                "cnt": pa.array(cs[ends] - cs[starts], pa.int64()),
-                "_edge": pa.array(edge),
-            }
-        )
-
-    blocks = srt.map_batches(seg_sum, batch_format="pyarrow", batch_size=None)
-    blocks = blocks.materialize()
-    inner = blocks.map_batches(
-        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
-    edge_rows = blocks.map_batches(
-        lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
-    ).take_all()
+    inner, edge_rows = _sorted_seg_reduce(parts, "cell", "cnt", "sum", pa.int64())
     merged: dict[int, int] = {}
     for rrow in edge_rows:
         merged[rrow["cell"]] = merged.get(rrow["cell"], 0) + rrow["cnt"]

@@ -31,7 +31,9 @@ def _vecs(col) -> np.ndarray:
         col = col.combine_chunks()
     n = len(col)
     if pa.types.is_fixed_size_list(col.type):
-        vals = col.values.to_numpy(zero_copy_only=False)
+        # flatten() honors the array's slice offset; .values is the FULL
+        # child buffer and would reshape-fail (or worse) on sliced batches
+        vals = col.flatten().to_numpy(zero_copy_only=False)
         return vals.reshape(n, col.type.list_size).astype(np.float64, copy=False)
     off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     lens = np.diff(off)

@@ -74,6 +74,12 @@ def asof_join(
     latest right row satisfying ``right.on < left.on`` (``strict``) or
     ``<= left.on``; null where no right row qualifies. A carried column
     whose name collides with a left column is emitted as ``name+suffix``.
+
+    ``by`` and ``on`` must be non-null on BOTH sides (checked per batch,
+    loud ValueError): they are the distributed sort keys — Ray's range
+    sort crashes on null key boundaries (CLAUDE.md) — and DuckDB's ASOF
+    equality never matches NULL anyway, so a null key has no defined
+    match. Carried payload columns may of course be null.
     """
     left = _to_arrow_blocks(left)
     right = _to_arrow_blocks(right)
@@ -96,7 +102,21 @@ def asof_join(
     # row at the same instant must stay invisible), AFTER for inclusive
     l_tag, r_tag = (0, 1) if strict else (1, 0)
 
+    def _require_nonnull(batch: pa.Table, side: str) -> None:
+        for c in (by, on):
+            col = batch[c]
+            nc = col.null_count if not isinstance(col, pa.ChunkedArray) else sum(
+                ch.null_count for ch in col.chunks
+            )
+            if nc:
+                raise ValueError(
+                    f"asof_join: {side} column {c!r} contains nulls; sort "
+                    "keys must be non-null (null keys have no defined as-of "
+                    "match; drop or fill them first)"
+                )
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        _require_nonnull(batch, "left")
         n = batch.num_rows
         cols: dict[str, Any] = {
             by: batch[by],
@@ -111,6 +131,7 @@ def asof_join(
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        _require_nonnull(batch, "right")
         n = batch.num_rows
         cols = {
             by: batch[by].cast(left_schema.field(by).type),
@@ -308,17 +329,24 @@ def broadcast_join(
         key = batch[on]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        fk = key.to_numpy(zero_copy_only=False)
         nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
         if len(kvs):
-            # probe with nulls masked to a real key, then invalidate
-            probe = np.where(nullm, kvs[0], fk)
+            # fill nulls ARROW-side with a real dim key, then invalidate:
+            # converting a null-bearing int64 array via to_numpy goes
+            # through float64 and garbles keys above 2^53 (CLAUDE.md trap);
+            # the FILLED array converts on the exact integer path
+            if key.null_count:
+                fill = kvs[0].item() if isinstance(kvs[0], np.generic) else kvs[0]
+                key_filled = pc.fill_null(key, pa.scalar(fill, type=key.type))
+            else:
+                key_filled = key
+            probe = key_filled.to_numpy(zero_copy_only=False)
             pos = np.searchsorted(kvs, probe)
             pos_c = np.clip(pos, 0, len(kvs) - 1)
             hit = (kvs[pos_c] == probe) & ~nullm
         else:
-            pos_c = np.zeros(len(fk), dtype=np.int64)
-            hit = np.zeros(len(fk), dtype=bool)
+            pos_c = np.zeros(len(key), dtype=np.int64)
+            hit = np.zeros(len(key), dtype=bool)
         if how == "inner":
             sel = np.flatnonzero(hit)
             out = batch.take(pa.array(sel, pa.int64()))

@@ -1,6 +1,16 @@
-"""Windowed aggregates over event streams (batch semantics: the window key
-is computed per row, then one ``groupby`` shuffle aggregates — the standard
-tumbling/sliding pattern for Dataset pipelines).
+"""Windowed aggregates over event streams.
+
+Tumbling/sliding avoid Ray's ``groupby().aggregate()`` (measured at ~2x a
+sort at high key cardinality — CLAUDE.md): each batch PARTIAL-COMBINES
+locally (one vectorized ``pyarrow.Table.group_by``), so only (windows x
+keys)-sized partials enter the single range sort, then a per-block
+segmented sum with an O(blocks) edge stitch finalizes — the same
+sort+``reduceat``+stitch idiom as ``extras/sketches._sorted_seg_reduce``,
+generalized to composite keys. At a 100-TB event span the sort input is
+the partial count (bounded by batches x windows-per-batch x keys), never
+the event count. Null window/key values are sentinel-encoded as
+(is_null, filled) pairs before the sort — Ray's range sort crashes on
+null key boundaries (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -8,6 +18,139 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def _fill_zero(arr: pa.Array) -> pa.Array:
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.fill_null(arr, "")
+    if pa.types.is_temporal(t):
+        return pc.fill_null(arr, pa.scalar(0, pa.int64()).cast(t))
+    return pc.fill_null(arr, pa.scalar(0, type=t))
+
+
+def _sentinel_pair(arr, prefix: str) -> dict[str, pa.Array]:
+    """(is_null uint8, filled) sort-safe encoding of a possibly-null
+    column (uint8 flag — the repo's range-sort-safe sentinel shape)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return {
+        prefix + "n": pc.cast(pc.is_null(arr), pa.uint8()),
+        prefix + "f": _fill_zero(arr),
+    }
+
+
+def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str]):
+    """Sort ``parts`` by ``key_cols`` (all non-null — sentinel pairs), then
+    finalize per-key SUMs of ``val_cols``: interior key runs cannot
+    straddle a block boundary after a global sort, so each block resolves
+    its inner runs locally and only its first/last run (O(blocks) rows
+    total) is driver-merged. Returns a Dataset of (key_cols + val_cols)."""
+    psch = getattr(parts.schema(), "base_schema", parts.schema())
+    empty_seg = pa.table(
+        {
+            **{c: pa.array([], psch.field(c).type) for c in key_cols + val_cols},
+            "_edge": pa.array([], pa.bool_()),
+        }
+    )
+    srt = parts.sort(key_cols).materialize()
+
+    def seg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_seg
+        n = t.num_rows
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = None
+            for kc in key_cols:
+                col = t[kc]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                neq = d if neq is None else pc.or_(neq, d)
+            change[1:] = neq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n]
+        take = pa.array(starts, pa.int64())
+        cols = {kc: _chunkless(t[kc]).take(take) for kc in key_cols}
+        for vc in val_cols:
+            v = _chunkless(t[vc]).to_numpy(zero_copy_only=False)
+            cs = np.zeros(n + 1, dtype=v.dtype)
+            np.cumsum(v, out=cs[1:])
+            cols[vc] = pa.array(cs[ends] - cs[starts], type=t.schema.field(vc).type)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        cols["_edge"] = pa.array(edge)
+        return pa.table(cols)
+
+    blocks = srt.map_batches(seg, batch_format="pyarrow", batch_size=None).materialize()
+    inner = blocks.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edge_rows = blocks.map_batches(
+        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]), batch_format="pyarrow"
+    ).take_all()
+
+    merged: dict[tuple, dict] = {}
+    order: list[tuple] = []
+    for r in edge_rows:
+        k = tuple(r[kc] for kc in key_cols)
+        if k in merged:
+            for vc in val_cols:
+                merged[k][vc] += r[vc]
+        else:
+            merged[k] = dict(r)
+            order.append(k)
+    sch = getattr(parts.schema(), "base_schema", parts.schema())
+    stitched = pa.table(
+        {
+            c: pa.array([merged[k][c] for k in order], sch.field(c).type)
+            for c in key_cols + val_cols
+        }
+    )
+
+    import ray.data
+
+    return inner.union(ray.data.from_arrow(stitched))
+
+
+def _chunkless(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _epoch_us(ts) -> pa.Array:
+    """Timestamp (any unit — from_pandas yields ns, parquet us) or integer
+    epoch column -> epoch MICROSECONDS int64."""
+    if pa.types.is_temporal(ts.type):
+        ts = ts.cast(pa.timestamp("us"))
+    return _chunkless(ts.cast(pa.int64()))
+
+
+def _window_pipeline(ds, build_partials, key_col, key_type, out_extra: list[str]):
+    """Shared tumbling/sliding tail: partial-combine per batch, one sort,
+    segmented sum, sentinel decode."""
+    key_cols = ["_wsn", "_wsf"] + (["_kn", "_kf"] if key_col else [])
+    parts = ds.map_batches(build_partials, batch_format="pyarrow")
+    out = _sorted_multi_sum(parts, key_cols, ["cnt"] + out_extra)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        wsn = pc.cast(t["_wsn"], pa.bool_())
+        ws = pc.if_else(wsn, pa.scalar(None, pa.int64()), t["_wsf"])
+        cols = {"window_start": ws.cast(pa.timestamp("us"))}
+        if key_col:
+            cols[key_col] = pc.if_else(
+                pc.cast(t["_kn"], pa.bool_()),
+                pa.scalar(None, type=key_type),
+                t["_kf"],
+            )
+        cols["cnt"] = t["cnt"]
+        for c in out_extra:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def tumbling_window_counts(
@@ -21,25 +164,38 @@ def tumbling_window_counts(
 
     Returns (window_start [timestamp-us], key?, cnt, sum_value?).
     """
-    from ray.data.aggregate import Count, Sum
+    from liken_ray.extras.joins import _to_arrow_blocks
 
-    def keyize(batch: pa.Table) -> pa.Table:
-        ts = batch[ts_col]
-        epoch_us = ts.cast(pa.int64())
-        win_us = window_s * 1_000_000
-        start = pc.multiply(pc.floor(pc.divide(epoch_us, win_us)).cast(pa.int64()), win_us)
-        out = {"window_start": start.cast(pa.timestamp("us"))}
-        if key_col:
-            out[key_col] = batch[key_col]
-        if value_col:
-            out[value_col] = batch[value_col]
-        return pa.table(out)
-
-    keys = ["window_start"] + ([key_col] if key_col else [])
-    aggs = [Count(alias_name="cnt")]
+    ds = _to_arrow_blocks(ds)
+    win_us = window_s * 1_000_000
+    sch = getattr(ds.schema(), "base_schema", ds.schema())
+    key_type = sch.field(key_col).type if key_col else None
+    sum_type = None
     if value_col:
-        aggs.append(Sum(value_col, alias_name="sum_value"))
-    return ds.map_batches(keyize, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+        vt = sch.field(value_col).type
+        sum_type = pa.float64() if pa.types.is_floating(vt) else pa.int64()
+
+    def build(batch: pa.Table) -> pa.Table:
+        epoch_us = _epoch_us(batch[ts_col])
+        start = pc.multiply(
+            pc.floor(pc.divide(epoch_us, win_us)).cast(pa.int64()), win_us
+        )
+        cols = _sentinel_pair(start, "_ws")
+        if key_col:
+            cols.update(_sentinel_pair(batch[key_col], "_k"))
+        cols["cnt"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        aggs = [("cnt", "sum")]
+        if value_col:
+            cols["sum_value"] = _chunkless(batch[value_col]).cast(sum_type)
+            aggs.append(("sum_value", "sum"))
+        t = pa.table(cols)
+        g = t.group_by(list(cols)[: len(cols) - len(aggs)]).aggregate(aggs)
+        ren = {f"{c}_sum": c for c, _ in aggs}
+        return g.rename_columns([ren.get(c, c) for c in g.schema.names])
+
+    return _window_pipeline(
+        ds, build, key_col, key_type, ["sum_value"] if value_col else []
+    )
 
 
 def sliding_window_counts(
@@ -50,33 +206,47 @@ def sliding_window_counts(
     key_col: str | None = "event_type",
 ):
     """Sliding windows via row replication: each row lands in
-    ``window_s/slide_s`` windows (flat-map explode then one groupby)."""
-    from ray.data.aggregate import Count
+    ``window_s/slide_s`` windows (vectorized explode — arrow ``take`` for
+    the key, never ``to_pylist`` — then partial-combine + one sort)."""
+    from liken_ray.extras.joins import _to_arrow_blocks
 
+    ds = _to_arrow_blocks(ds)
     k = max(1, window_s // slide_s)
+    slide_us = slide_s * 1_000_000
+    win_us = window_s * 1_000_000
+    sch = getattr(ds.schema(), "base_schema", ds.schema())
+    key_type = sch.field(key_col).type if key_col else None
 
-    def explode(batch: pa.Table) -> pa.Table:
-        epoch_us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        slide_us = slide_s * 1_000_000
-        win_us = window_s * 1_000_000
+    def build(batch: pa.Table) -> pa.Table:
+        ts = _chunkless(_epoch_us(batch[ts_col]))
+        # null ts: explode from a zero epoch, then restore nullness on the
+        # replicated window starts (sentinel decode keeps them grouped)
+        ts_null = pc.is_null(ts).to_numpy(zero_copy_only=False)
+        epoch_us = _fill_zero(ts).to_numpy(zero_copy_only=False)
         last_start = (epoch_us // slide_us) * slide_us
         n = len(epoch_us)
         starts = last_start[:, None] - np.arange(k)[None, :] * slide_us
         valid = starts + win_us > epoch_us[:, None]
-        out = {"window_start": pa.array(starts[valid], pa.int64()).cast(pa.timestamp("us"))}
+        valid[ts_null] = False
+        valid[ts_null, 0] = True  # one carrier row per null ts
+        reps = valid.sum(axis=1)
+        src = np.repeat(np.arange(n, dtype=np.int64), reps)
+        rep_null = np.repeat(ts_null, reps)
+        cols = {
+            "_wsn": pa.array(rep_null.astype(np.uint8), pa.uint8()),
+            "_wsf": pa.array(np.where(rep_null, 0, starts[valid]), pa.int64()),
+        }
         if key_col:
-            keys_rep = np.repeat(
-                np.array(batch[key_col].to_pylist(), dtype=object), valid.sum(axis=1)
-            )
-            out[key_col] = pa.array(keys_rep, pa.string())
-        return pa.table(out)
+            key = _chunkless(batch[key_col]).take(pa.array(src, pa.int64()))
+            cols.update(_sentinel_pair(key, "_k"))
+        cols["cnt"] = pa.array(np.ones(len(src), dtype=np.int64))
+        t = pa.table(cols)
+        g = t.group_by(list(cols)[:-1]).aggregate([("cnt", "sum")])
+        return g.rename_columns(
+            [("cnt" if c == "cnt_sum" else c) for c in g.schema.names]
+        )
 
-    keys = ["window_start"] + ([key_col] if key_col else [])
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Count(alias_name="cnt"))
-    )
+    return _window_pipeline(ds, build, key_col, key_type, [])
 
 
 def sessionize(

@@ -300,16 +300,20 @@ def caption_band_stage(batch: pa.Table, *, cfg: dict[str, Any]) -> pa.Table:
     ngram = cfg["ngram"]
     num_perm = cfg["num_perm"]
     b, r = mh.optimal_param(cfg["lsh_threshold"], num_perm)
-    caps = batch["caption"].to_pylist()
+    cap_in = batch["caption"]
+    if isinstance(cap_in, pa.ChunkedArray):
+        cap_in = cap_in.combine_chunks()
     rid = batch[RID].to_numpy(zero_copy_only=False).astype(np.int64)
-    keep = np.arange(len(caps), dtype=np.int64)
     if cfg["null_captions"] == "skip":
-        keep = np.array(
-            [i for i, c in enumerate(caps) if c is not None and len(c) >= ngram],
-            dtype=np.int64,
-        )
-        caps = [caps[i] for i in keep]
+        # vectorized null/too-short filter (utf8_length is codepoint-exact
+        # like len(str)) — no python row loop before the signature kernel
+        m = pc.fill_null(pc.greater_equal(pc.utf8_length(cap_in), ngram), False)
+        keep = np.flatnonzero(m.to_numpy(zero_copy_only=False))
+        caps = cap_in.filter(m).to_pylist()
         rid = rid[keep]
+    else:
+        keep = np.arange(len(cap_in), dtype=np.int64)
+        caps = cap_in.to_pylist()
     sketch_mode = cfg["caption_verify"] and cfg["verify_payload"] == "sketch"
     payload_col = "csk" if sketch_mode else "caption"
     payload_type = pa.list_(pa.uint64()) if sketch_mode else batch.schema.field("caption").type

@@ -85,16 +85,17 @@ def main(argv: list[str] | None = None) -> int:
                     "local-fs semantics (a URI would be created as a "
                     "literal local directory named after the scheme)"
                 )
-        result = run_flagship(args.input, overrides or None, run_dir=args.run_dir)
         # Ray's write_parquet emits uniquely-named files per execution, so
         # writing into a non-empty dir would UNION this run's rows with a
-        # previous run's — refuse instead of silently duplicating
+        # previous run's — refuse BEFORE the (potentially hours-long)
+        # pipeline runs, not after
         if os.path.isdir(args.output) and os.listdir(args.output):
             raise SystemExit(
                 f"--output {args.output!r} is not empty; refusing to mix "
                 "assignment files across runs — point --output at a fresh "
                 "directory or clear it first"
             )
+        result = run_flagship(args.input, overrides or None, run_dir=args.run_dir)
         os.makedirs(args.output, exist_ok=True)
         result["assignments"].write_parquet(args.output)
 

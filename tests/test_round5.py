@@ -1,0 +1,271 @@
+"""Round-5 fixes: semdedup hot-cell block partitioning, broadcast_join
+null-int64 key exactness, asof_join null sort-key enforcement, _vecs
+slice-safety, window aggregates off groupby().aggregate.
+
+Each fix is pinned against an independent reference (numpy brute force,
+pandas) on inputs shaped to hit the failure mode the round-4 verdict /
+advice described."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from liken_ray.extras.ann import _vecs
+from liken_ray.extras.joins import asof_join, broadcast_join
+from liken_ray.extras.semdedup import semdedup
+from liken_ray.extras.windows import sliding_window_counts, tumbling_window_counts
+from tests.test_round4b import _semdedup_reference, _vec_table
+
+
+# ---------------------------------------------------------------------------
+# semdedup: hot cell spanning many sorted blocks (the round-4 verdict's
+# "weak at 100 TB" item — one task per cell is gone; every block scans its
+# own rows plus a streamed prefix)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_hot_cell_spans_blocks(ray_session):
+    rng = np.random.default_rng(50)
+    # ONE dominant cell: every vector near centroid 0, far from centroid 1
+    cents = np.vstack([np.ones(12), -np.ones(12)])
+    base = np.ones((240, 12)) + 0.3 * rng.standard_normal((240, 12))
+    # plant near-dup pairs whose ids are FAR apart, so after the (cell, id)
+    # sort the pair members land in different blocks and only the
+    # cross-block prefix scan can see them
+    dups = base[:20] + 1e-4 * rng.standard_normal((20, 12))
+    vecs = np.vstack([base, dups])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = ray.data.from_arrow(_vec_table(vecs, ids)).repartition(9)
+    got = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in semdedup(ds, eps=0.999, centroids=cents, tile=17).take_all()
+    }
+    want = _semdedup_reference(
+        vecs.astype(np.float32).astype(np.float64), ids, cents, 0.999
+    )
+    assert got == want
+    # the whole corpus really did land in one cell (the hot-cell shape)
+    assert {c for c, _ in got.values()} == {0}
+    assert sum(d for _, d in got.values()) >= 20
+
+
+def test_semdedup_multi_cell_tile_boundaries(ray_session):
+    # cells + tile sizes chosen so a tile straddles a cell boundary: a row
+    # must only see EARLIER rows of ITS OWN cell run (per-row col_lo/col_hi)
+    rng = np.random.default_rng(51)
+    cents = rng.standard_normal((5, 8)) * 2
+    vecs = np.repeat(cents, 13, axis=0) + 0.05 * rng.standard_normal((65, 8))
+    ids = rng.permutation(65).astype(np.int64)
+    ds = ray.data.from_arrow(_vec_table(vecs, ids)).repartition(4)
+    got = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in semdedup(ds, eps=0.98, centroids=cents, tile=7).take_all()
+    }
+    want = _semdedup_reference(
+        vecs.astype(np.float32).astype(np.float64), ids, cents, 0.98
+    )
+    assert got == want
+
+
+def test_semdedup_null_ids_raise(ray_session):
+    vecs = np.ones((3, 4))
+    flat = pa.array(vecs.reshape(-1), pa.float64())
+    emb = pa.ListArray.from_arrays(pa.array([0, 4, 8, 12], pa.int32()), flat)
+    t = pa.table({"vec_id": pa.array([1, None, 3], pa.int64()), "embedding": emb})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception, match="nulls"):
+        semdedup(ds, eps=0.5, centroids=np.ones((1, 4))).take_all()
+
+
+# ---------------------------------------------------------------------------
+# broadcast_join: null-bearing int64 fact keys above 2^53 must stay exact
+# (the float64 to_numpy garble — ADVICE round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_join_null_int64_keys_above_2_53(ray_session):
+    big = 1 << 61
+    # adjacent huge keys collapse to the same float64; nulls force the
+    # old code down the float64 conversion path
+    fact = pa.table(
+        {
+            "k": pa.array([big + 1, big + 2, None, big + 3], pa.int64()),
+            "x": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    dim = pa.table(
+        {
+            "k": pa.array([big + 1, big + 3], pa.int64()),
+            "name": pa.array(["a", "c"]),
+        }
+    )
+    out = broadcast_join(ray.data.from_arrow(fact), dim, on="k", how="left")
+    rows = {r["x"]: r["name"] for r in out.take_all()}
+    assert rows == {0: "a", 1: None, 2: None, 3: "c"}
+    inner = broadcast_join(ray.data.from_arrow(fact), dim, on="k", how="inner")
+    assert {r["x"] for r in inner.take_all()} == {0, 3}
+
+
+def test_broadcast_join_all_null_fact_keys(ray_session):
+    fact = pa.table(
+        {"k": pa.array([None, None], pa.int64()), "x": pa.array([0, 1], pa.int64())}
+    )
+    dim = pa.table({"k": pa.array([7], pa.int64()), "name": pa.array(["a"])})
+    out = broadcast_join(ray.data.from_arrow(fact), dim, on="k", how="left")
+    assert [r["name"] for r in out.take_all()] == [None, None]
+
+
+# ---------------------------------------------------------------------------
+# asof_join: null by/on is a loud error (Ray's range sort crashes on null
+# sort keys; silent nulls had no defined match semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+@pytest.mark.parametrize("col", ["k", "ts"])
+def test_asof_join_null_sort_keys_raise(ray_session, side, col):
+    good = pd.DataFrame({"k": [1, 2], "ts": [10, 20], "p": [0, 1]})
+    bad = good.copy()
+    bad[col] = bad[col].astype("Int64")
+    bad.loc[0, col] = pd.NA
+    left = ray.data.from_pandas(bad if side == "left" else good)
+    right = ray.data.from_pandas(good if side == "left" else bad)
+    with pytest.raises(Exception, match="non-null"):
+        asof_join(left, right, on="ts", by="k", right_cols=["p"]).take_all()
+
+
+# ---------------------------------------------------------------------------
+# _vecs: sliced fixed-size-list batches (ADVICE: .values ignores the slice
+# offset)
+# ---------------------------------------------------------------------------
+
+
+def test_vecs_sliced_fixed_size_list():
+    a = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.arange(12, dtype=np.float64)), 3
+    )
+    out = _vecs(a.slice(2, 2))
+    assert out.shape == (2, 3)
+    np.testing.assert_array_equal(out, np.arange(6, 12, dtype=np.float64).reshape(2, 3))
+
+
+def test_vecs_sliced_var_list():
+    flat = pa.array(np.arange(12, dtype=np.float64))
+    a = pa.ListArray.from_arrays(pa.array([0, 3, 6, 9, 12], pa.int32()), flat)
+    out = _vecs(a.slice(1, 2))
+    np.testing.assert_array_equal(out, np.arange(3, 9, dtype=np.float64).reshape(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# windows: sort + segmented sum (no groupby().aggregate) must match pandas,
+# including null keys / null timestamps and the sum_value path
+# ---------------------------------------------------------------------------
+
+
+def _events_frame(rng, n, null_keys=False, null_ts=False):
+    ts = rng.integers(0, 10 * 3600, n) * 1_000_000  # epoch-us over 10 hours
+    key = rng.choice(["a", "b", "c"], n).astype(object)
+    if null_keys:
+        key[rng.random(n) < 0.1] = None
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts, unit="us"),
+            "event_type": key,
+            "value": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    if null_ts:
+        df.loc[df.sample(frac=0.05, random_state=1).index, "ts"] = pd.NaT
+    return df
+
+
+def _tumbling_reference(df, window_s, with_value):
+    epoch = df["ts"].astype("int64") // 1000  # ns -> us; NaT masked below
+    start = (epoch // (window_s * 1_000_000)) * (window_s * 1_000_000)
+    start = start.where(df["ts"].notna(), pd.NA)
+    g = df.assign(ws=start).groupby(["ws", "event_type"], dropna=False)
+    out = g.size().rename("cnt").reset_index()
+    if with_value:
+        out = out.merge(
+            g["value"].sum().rename("sum_value").reset_index(),
+            on=["ws", "event_type"],
+            how="left",
+        )
+    return {
+        (None if pd.isna(r.ws) else int(r.ws),
+         None if pd.isna(r.event_type) else r.event_type): (
+            (int(r.cnt), int(r.sum_value)) if with_value else int(r.cnt)
+        )
+        for r in out.itertuples()
+    }
+
+
+@pytest.mark.parametrize("with_value", [False, True])
+def test_tumbling_window_matches_pandas(ray_session, with_value):
+    rng = np.random.default_rng(52)
+    df = _events_frame(rng, 700, null_keys=True, null_ts=True)
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = tumbling_window_counts(
+        ds, window_s=3600, value_col="value" if with_value else None
+    ).take_all()
+    got = {}
+    for r in out:
+        ws = r["window_start"]
+        wkey = None if ws is None else int(pd.Timestamp(ws).value // 1000)
+        got[(wkey, r["event_type"])] = (
+            (r["cnt"], r["sum_value"]) if with_value else r["cnt"]
+        )
+    assert got == _tumbling_reference(df, 3600, with_value)
+
+
+def test_tumbling_window_float_values(ray_session):
+    rng = np.random.default_rng(53)
+    df = _events_frame(rng, 100)
+    df["value"] = df["value"].astype(np.float64) / 7.0
+    ds = ray.data.from_pandas(df)
+    out = tumbling_window_counts(ds, window_s=3600).take_all()
+    assert all(isinstance(r["sum_value"], float) for r in out)
+    assert sum(r["cnt"] for r in out) == 100
+    np.testing.assert_allclose(
+        sum(r["sum_value"] for r in out), df["value"].sum(), rtol=1e-9
+    )
+
+
+def test_sliding_window_matches_pandas(ray_session):
+    rng = np.random.default_rng(54)
+    df = _events_frame(rng, 600, null_keys=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = sliding_window_counts(ds, window_s=3600, slide_s=900).take_all()
+    got = {
+        (int(pd.Timestamp(r["window_start"]).value // 1000), r["event_type"]): r["cnt"]
+        for r in out
+    }
+    # reference: each event lands in the k sliding windows covering it
+    want: dict = {}
+    slide_us, win_us = 900 * 1_000_000, 3600 * 1_000_000
+    for _, row in df.iterrows():
+        e = int(row["ts"].value // 1000)
+        last = (e // slide_us) * slide_us
+        s = last
+        while s + win_us > e and s >= last - 3 * slide_us:
+            k = (s, row["event_type"])
+            want[k] = want.get(k, 0) + 1
+            s -= slide_us
+    assert got == want
+
+
+def test_windows_no_ray_aggregate(ray_session):
+    """The window ops must not route through Ray's groupby().aggregate()
+    (the repo's measured 2x-vs-sort law at high key cardinality)."""
+    import inspect
+
+    import liken_ray.extras.windows as w
+
+    src = inspect.getsource(w)
+    # pyarrow's LOCAL Table.group_by is fine; Ray's Dataset.groupby is not
+    assert ".groupby(" not in src
+    assert "ray.data.aggregate" not in src

@@ -29,6 +29,10 @@ def _vecs(col) -> np.ndarray:
     Slice-safe via ``flatten()``; ragged rows raise."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        # flatten() drops null slots, so a silent reshape would misalign
+        # rows — reject loudly (a null embedding has no similarity anyway)
+        raise ValueError("embedding column contains nulls; drop or fill them first")
     n = len(col)
     if pa.types.is_fixed_size_list(col.type):
         # flatten() honors the array's slice offset; .values is the FULL

@@ -104,11 +104,7 @@ def asof_join(
 
     def _require_nonnull(batch: pa.Table, side: str) -> None:
         for c in (by, on):
-            col = batch[c]
-            nc = col.null_count if not isinstance(col, pa.ChunkedArray) else sum(
-                ch.null_count for ch in col.chunks
-            )
-            if nc:
+            if batch[c].null_count:
                 raise ValueError(
                     f"asof_join: {side} column {c!r} contains nulls; sort "
                     "keys must be non-null (null keys have no defined as-of "
@@ -323,6 +319,13 @@ def broadcast_join(
     payload = dim.select(right_cols).take(pa.array(order, pa.int64()))
     dim_ref = ray.put((kv_sorted, payload))
     dim_types = {out_map[c]: dim.schema.field(c).type for c in right_cols}
+    # fill value for null fact keys: any constant REPRESENTABLE IN THE FACT
+    # KEY TYPE works (hits are invalidated by the null mask afterwards) — a
+    # dim key could overflow a narrower fact column (e.g. int32 facts vs an
+    # int64 dim key), so use the type's zero, not kvs[0]
+    from liken_ray.extras.relational import _zero_scalar
+
+    fact_fill = _zero_scalar(_schema(ds).field(on).type)
 
     def lookup(batch: pa.Table) -> pa.Table:
         kvs, pay = ray.get(dim_ref)
@@ -331,15 +334,11 @@ def broadcast_join(
             key = key.combine_chunks()
         nullm = pc.is_null(key).to_numpy(zero_copy_only=False)
         if len(kvs):
-            # fill nulls ARROW-side with a real dim key, then invalidate:
-            # converting a null-bearing int64 array via to_numpy goes
-            # through float64 and garbles keys above 2^53 (CLAUDE.md trap);
-            # the FILLED array converts on the exact integer path
-            if key.null_count:
-                fill = kvs[0].item() if isinstance(kvs[0], np.generic) else kvs[0]
-                key_filled = pc.fill_null(key, pa.scalar(fill, type=key.type))
-            else:
-                key_filled = key
+            # fill nulls ARROW-side, then invalidate: converting a
+            # null-bearing int64 array via to_numpy goes through float64
+            # and garbles keys above 2^53 (CLAUDE.md trap); the FILLED
+            # array converts on the exact integer path
+            key_filled = pc.fill_null(key, fact_fill) if key.null_count else key
             probe = key_filled.to_numpy(zero_copy_only=False)
             pos = np.searchsorted(kvs, probe)
             pos_c = np.clip(pos, 0, len(kvs) - 1)

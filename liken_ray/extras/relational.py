@@ -38,7 +38,9 @@ def _zero_scalar(t: pa.DataType):
     if pa.types.is_boolean(t):
         return pa.scalar(False, type=t)
     if pa.types.is_temporal(t):
-        return pa.scalar(0, type=pa.int64()).cast(t)
+        # 32-bit temporals (date32/time32) reject an int64 cast — match widths
+        src = pa.int32() if t.bit_width == 32 else pa.int64()
+        return pa.scalar(0, type=src).cast(t)
     return pa.scalar(0, type=t)
 
 

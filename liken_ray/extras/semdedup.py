@@ -52,8 +52,6 @@ from liken_ray.extras.dedup_text import _vec_matrix
 
 __all__ = ["semdedup"]
 
-_OUT_SCHEMA_COLS = ("cell", "is_dup")
-
 
 def _dominates_tiled(
     seg: np.ndarray,

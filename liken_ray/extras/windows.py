@@ -21,12 +21,9 @@ import pyarrow.compute as pc
 
 
 def _fill_zero(arr: pa.Array) -> pa.Array:
-    t = arr.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return pc.fill_null(arr, "")
-    if pa.types.is_temporal(t):
-        return pc.fill_null(arr, pa.scalar(0, pa.int64()).cast(t))
-    return pc.fill_null(arr, pa.scalar(0, type=t))
+    from liken_ray.extras.relational import _zero_scalar
+
+    return pc.fill_null(arr, _zero_scalar(arr.type))
 
 
 def _sentinel_pair(arr, prefix: str) -> dict[str, pa.Array]:
@@ -70,14 +67,14 @@ def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str]):
                 neq = d if neq is None else pc.or_(neq, d)
             change[1:] = neq.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], n]
         take = pa.array(starts, pa.int64())
         cols = {kc: _chunkless(t[kc]).take(take) for kc in key_cols}
         for vc in val_cols:
+            # partials are non-null by construction (nulls were zero-filled
+            # with a companion non-null count); reduceat avoids the
+            # prefix-sum cancellation error a cumsum-diff has on floats
             v = _chunkless(t[vc]).to_numpy(zero_copy_only=False)
-            cs = np.zeros(n + 1, dtype=v.dtype)
-            np.cumsum(v, out=cs[1:])
-            cols[vc] = pa.array(cs[ends] - cs[starts], type=t.schema.field(vc).type)
+            cols[vc] = pa.array(np.add.reduceat(v, starts), type=t.schema.field(vc).type)
         edge = np.zeros(len(starts), dtype=bool)
         edge[0] = True
         edge[-1] = True
@@ -103,10 +100,9 @@ def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str]):
         else:
             merged[k] = dict(r)
             order.append(k)
-    sch = getattr(parts.schema(), "base_schema", parts.schema())
     stitched = pa.table(
         {
-            c: pa.array([merged[k][c] for k in order], sch.field(c).type)
+            c: pa.array([merged[k][c] for k in order], psch.field(c).type)
             for c in key_cols + val_cols
         }
     )
@@ -147,7 +143,16 @@ def _window_pipeline(ds, build_partials, key_col, key_type, out_extra: list[str]
             )
         cols["cnt"] = t["cnt"]
         for c in out_extra:
-            cols[c] = t[c]
+            if c == "_nn":
+                continue
+            arr = t[c]
+            if "_nn" in out_extra:
+                arr = pc.if_else(
+                    pc.greater(t["_nn"], 0),
+                    arr,
+                    pa.scalar(None, type=arr.type),
+                )
+            cols[c] = arr
         return pa.table(cols)
 
     return out.map_batches(finalize, batch_format="pyarrow")
@@ -177,24 +182,37 @@ def tumbling_window_counts(
 
     def build(batch: pa.Table) -> pa.Table:
         epoch_us = _epoch_us(batch[ts_col])
-        start = pc.multiply(
-            pc.floor(pc.divide(epoch_us, win_us)).cast(pa.int64()), win_us
-        )
+        # FLOOR window start: pc.divide truncates toward zero, which would
+        # bin a pre-1970 event into a window STARTING AFTER it (and
+        # disagree with the sliding path's numpy floor division)
+        prod = pc.multiply(pc.divide(epoch_us, win_us), win_us)
+        rem = pc.subtract(epoch_us, prod)
+        start = pc.if_else(pc.less(rem, 0), pc.subtract(prod, win_us), prod)
         cols = _sentinel_pair(start, "_ws")
         if key_col:
             cols.update(_sentinel_pair(batch[key_col], "_k"))
         cols["cnt"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
         aggs = [("cnt", "sum")]
         if value_col:
-            cols["sum_value"] = _chunkless(batch[value_col]).cast(sum_type)
+            vcol = _chunkless(batch[value_col])
+            # zero-fill nulls and carry a non-null count so the segmented
+            # reduce never sees a null partial (pyarrow group_by "sum"
+            # emits null for an all-null group, which would poison the
+            # numpy reduce via the null->float64 trap); finalize restores
+            # SQL semantics (sum over all-null group = NULL)
+            cols["sum_value"] = pc.fill_null(vcol, pa.scalar(0, sum_type)).cast(
+                sum_type
+            )
+            cols["_nn"] = pc.cast(pc.is_valid(vcol), pa.int64())
             aggs.append(("sum_value", "sum"))
+            aggs.append(("_nn", "sum"))
         t = pa.table(cols)
         g = t.group_by(list(cols)[: len(cols) - len(aggs)]).aggregate(aggs)
         ren = {f"{c}_sum": c for c, _ in aggs}
         return g.rename_columns([ren.get(c, c) for c in g.schema.names])
 
     return _window_pipeline(
-        ds, build, key_col, key_type, ["sum_value"] if value_col else []
+        ds, build, key_col, key_type, ["sum_value", "_nn"] if value_col else []
     )
 
 

@@ -96,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
                 "directory or clear it first"
             )
         result = run_flagship(args.input, overrides or None, run_dir=args.run_dir)
+        # re-check at write time: a concurrent run could have passed the
+        # same pre-check and written here while this pipeline ran
+        if os.path.isdir(args.output) and os.listdir(args.output):
+            raise SystemExit(
+                f"--output {args.output!r} became non-empty while the "
+                "pipeline ran; refusing to mix assignment files across runs"
+            )
         os.makedirs(args.output, exist_ok=True)
         result["assignments"].write_parquet(args.output)
 

@@ -269,3 +269,99 @@ def test_windows_no_ray_aggregate(ray_session):
     # pyarrow's LOCAL Table.group_by is fine; Ray's Dataset.groupby is not
     assert ".groupby(" not in src
     assert "ray.data.aggregate" not in src
+
+
+# ---------------------------------------------------------------------------
+# review fixes: null value groups, pre-1970 floor, exotic key types,
+# narrow fact key types, null embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_all_null_value_group_is_null_sum(ray_session):
+    # one window/key group with ONLY null values: SQL SUM semantics (NULL),
+    # and the null partial must not poison neighbouring groups' sums
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([10, 20, 4000, 4001], unit="s"),
+            "event_type": ["a", "a", "b", "b"],
+            "value": pd.array([None, None, 5, 7], dtype="Int64"),
+        }
+    )
+    out = tumbling_window_counts(ray.data.from_pandas(df), window_s=3600).take_all()
+    by_key = {r["event_type"]: r for r in out}
+    assert by_key["a"]["cnt"] == 2 and by_key["a"]["sum_value"] is None
+    assert by_key["b"]["cnt"] == 2 and by_key["b"]["sum_value"] == 12
+
+
+def test_tumbling_mixed_null_values_sum_skips_nulls(ray_session):
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([10, 20, 30], unit="s"),
+            "event_type": ["a", "a", "a"],
+            "value": pd.array([None, 3, 4], dtype="Int64"),
+        }
+    )
+    (row,) = tumbling_window_counts(ray.data.from_pandas(df), window_s=3600).take_all()
+    assert row["cnt"] == 3 and row["sum_value"] == 7
+
+
+def test_tumbling_pre_1970_floor_matches_sliding(ray_session):
+    # -1s epoch must land in the window STARTING 1969-12-31 23:00 (floor),
+    # not 1970-01-01 00:00 (truncation toward zero)
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([-1_000_000, 1_000_000], unit="us"),
+            "event_type": ["a", "a"],
+            "value": [1, 2],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    tumb = {
+        int(pd.Timestamp(r["window_start"]).value // 1000): r["cnt"]
+        for r in tumbling_window_counts(ds, window_s=3600).take_all()
+    }
+    assert tumb == {-3600_000_000: 1, 0: 1}
+    slid = sliding_window_counts(ds, window_s=3600, slide_s=3600).take_all()
+    assert {
+        int(pd.Timestamp(r["window_start"]).value // 1000): r["cnt"] for r in slid
+    } == tumb
+
+
+def test_tumbling_date32_key_column(ray_session):
+    import datetime
+
+    t = pa.table(
+        {
+            "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+            "day": pa.array(
+                [datetime.date(2020, 1, 1), None], pa.date32()
+            ),
+        }
+    )
+    out = tumbling_window_counts(
+        ray.data.from_arrow(t), window_s=3600, value_col=None, key_col="day"
+    ).take_all()
+    got = {r["day"]: r["cnt"] for r in out}
+    assert got == {datetime.date(2020, 1, 1): 1, None: 1}
+
+
+def test_broadcast_join_narrow_fact_key_with_nulls(ray_session):
+    # int32 fact keys + an int64 dim key that overflows int32: the null
+    # fill must come from the FACT key's type, not the dim's smallest key
+    fact = pa.table(
+        {"k": pa.array([7, None], pa.int32()), "x": pa.array([0, 1], pa.int64())}
+    )
+    dim = pa.table(
+        {"k": pa.array([1 << 40, 7], pa.int64()), "name": pa.array(["big", "seven"])}
+    )
+    out = broadcast_join(ray.data.from_arrow(fact), dim, on="k", how="left")
+    assert {r["x"]: r["name"] for r in out.take_all()} == {0: "seven", 1: None}
+
+
+def test_vecs_null_embeddings_raise():
+    flat = pa.array(np.arange(4, dtype=np.float64))
+    a = pa.ListArray.from_arrays(
+        pa.array([0, 2, 2, 4], pa.int32()), flat, mask=pa.array([False, True, False])
+    )
+    with pytest.raises(ValueError, match="nulls"):
+        _vecs(a)

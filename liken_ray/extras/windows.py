@@ -37,32 +37,46 @@ def _sentinel_pair(arr, prefix: str) -> dict[str, pa.Array]:
     }
 
 
-def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str]):
+def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str], psch: pa.Schema):
     """Sort ``parts`` by ``key_cols`` (all non-null — sentinel pairs), then
     finalize per-key SUMs of ``val_cols``: interior key runs cannot
     straddle a block boundary after a global sort, so each block resolves
     its inner runs locally and only its first/last run (O(blocks) rows
-    total) is driver-merged. Returns a Dataset of (key_cols + val_cols)."""
-    psch = getattr(parts.schema(), "base_schema", parts.schema())
-    empty_seg = pa.table(
-        {
-            **{c: pa.array([], psch.field(c).type) for c in key_cols + val_cols},
-            "_edge": pa.array([], pa.bool_()),
-        }
-    )
-    srt = parts.sort(key_cols).materialize()
+    total) is driver-merged. Returns a Dataset of (key_cols + val_cols).
+    ``psch`` is the partials schema, passed EXPLICITLY — ``parts.schema()``
+    would execute the whole upstream pipeline once just to infer it.
 
-    def seg(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty_seg
+    After the sort, each block is reduced by ONE remote task with
+    ``num_returns=2``: the interior (final) runs stay in the object store
+    as a table ref and feed straight into ``from_arrow_refs``; only the
+    first/last run of each block (≤2 rows) is ray.get to the driver for
+    the O(blocks) stitch — no extra Dataset executions after the sort
+    (three separate map/take passes here measured ~2x wall on the sf0.1
+    window queries)."""
+    import ray
+    import ray.data
+    from ray.data.block import BlockAccessor
+
+    out_schema = pa.schema([psch.field(c) for c in key_cols + val_cols])
+    srt = parts.sort(key_cols).materialize()
+    refs = [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows  # Ray's sort emits an empty-SCHEMA block on empty input
+    ]
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote(num_returns=2)
+    def seg(block):
+        t = BlockAccessor.for_block(block).to_arrow()
         n = t.num_rows
         change = np.ones(n, dtype=bool)
         if n > 1:
             neq = None
             for kc in key_cols:
-                col = t[kc]
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
+                col = _chunkless(t[kc])
                 d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
                 neq = d if neq is None else pc.or_(neq, d)
             change[1:] = neq.to_numpy(zero_copy_only=False)
@@ -74,42 +88,35 @@ def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str]):
             # with a companion non-null count); reduceat avoids the
             # prefix-sum cancellation error a cumsum-diff has on floats
             v = _chunkless(t[vc]).to_numpy(zero_copy_only=False)
-            cols[vc] = pa.array(np.add.reduceat(v, starts), type=t.schema.field(vc).type)
-        edge = np.zeros(len(starts), dtype=bool)
-        edge[0] = True
-        edge[-1] = True
-        cols["_edge"] = pa.array(edge)
-        return pa.table(cols)
+            cols[vc] = pa.array(np.add.reduceat(v, starts), type=psch.field(vc).type)
+        red = pa.table(cols)
+        m = red.num_rows
+        edge_idx = [0] if m == 1 else [0, m - 1]
+        inner = red.slice(1, max(0, m - 2))
+        return inner, red.take(pa.array(edge_idx, pa.int64()))
 
-    blocks = srt.map_batches(seg, batch_format="pyarrow", batch_size=None).materialize()
-    inner = blocks.map_batches(
-        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
-        batch_format="pyarrow",
-    )
-    edge_rows = blocks.map_batches(
-        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]), batch_format="pyarrow"
-    ).take_all()
+    outs = [seg.remote(r) for r in refs]
+    inner_refs = [o[0] for o in outs]
+    edge_tables = ray.get([o[1] for o in outs])
 
     merged: dict[tuple, dict] = {}
     order: list[tuple] = []
-    for r in edge_rows:
-        k = tuple(r[kc] for kc in key_cols)
-        if k in merged:
-            for vc in val_cols:
-                merged[k][vc] += r[vc]
-        else:
-            merged[k] = dict(r)
-            order.append(k)
+    for et in edge_tables:
+        for r in et.to_pylist():
+            k = tuple(r[kc] for kc in key_cols)
+            if k in merged:
+                for vc in val_cols:
+                    merged[k][vc] += r[vc]
+            else:
+                merged[k] = r
+                order.append(k)
     stitched = pa.table(
         {
             c: pa.array([merged[k][c] for k in order], psch.field(c).type)
             for c in key_cols + val_cols
         }
     )
-
-    import ray.data
-
-    return inner.union(ray.data.from_arrow(stitched))
+    return ray.data.from_arrow_refs(inner_refs + [ray.put(stitched)])
 
 
 def _chunkless(col):
@@ -124,12 +131,19 @@ def _epoch_us(ts) -> pa.Array:
     return _chunkless(ts.cast(pa.int64()))
 
 
-def _window_pipeline(ds, build_partials, key_col, key_type, out_extra: list[str]):
+def _window_pipeline(
+    ds, build_partials, key_col, key_type, out_extra: list[str], extra_types=()
+):
     """Shared tumbling/sliding tail: partial-combine per batch, one sort,
     segmented sum, sentinel decode."""
     key_cols = ["_wsn", "_wsf"] + (["_kn", "_kf"] if key_col else [])
+    fields = [pa.field("_wsn", pa.uint8()), pa.field("_wsf", pa.int64())]
+    if key_col:
+        fields += [pa.field("_kn", pa.uint8()), pa.field("_kf", key_type)]
+    fields.append(pa.field("cnt", pa.int64()))
+    fields += [pa.field(c, t) for c, t in zip(out_extra, extra_types)]
     parts = ds.map_batches(build_partials, batch_format="pyarrow")
-    out = _sorted_multi_sum(parts, key_cols, ["cnt"] + out_extra)
+    out = _sorted_multi_sum(parts, key_cols, ["cnt"] + out_extra, pa.schema(fields))
 
     def finalize(t: pa.Table) -> pa.Table:
         wsn = pc.cast(t["_wsn"], pa.bool_())
@@ -212,7 +226,12 @@ def tumbling_window_counts(
         return g.rename_columns([ren.get(c, c) for c in g.schema.names])
 
     return _window_pipeline(
-        ds, build, key_col, key_type, ["sum_value", "_nn"] if value_col else []
+        ds,
+        build,
+        key_col,
+        key_type,
+        ["sum_value", "_nn"] if value_col else [],
+        (sum_type, pa.int64()) if value_col else (),
     )
 
 

@@ -204,6 +204,8 @@ def semdedup(
         if p and prefix_refs:
             seg = mat[:p]
             for pref in prefix_refs:
+                if dup[:p].all():
+                    break  # every first-segment row already dominated
                 pt = BlockAccessor.for_block(ray.get(pref)).to_arrow()
                 pcell = pt["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
                 s = int(np.searchsorted(pcell, first_cell, side="left"))

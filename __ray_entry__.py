@@ -912,6 +912,38 @@ def _asof_join_events(sf_dir: str):
     )
 
 
+def _merge_join_lineitem_orders(sf_dir: str):
+    """Fact x fact sort-merge equi-join: lineitem LEFT JOIN the open
+    orders (o_orderstatus = 'O') on orderkey. Neither side is broadcast —
+    this is the large x large shape broadcast_join can't cover, built as
+    the repo's union + ONE range sort + per-block segmented scan +
+    O(blocks) carry chain (never Dataset.join, per the concurrent-join
+    deadlock rule). Closed/pending orders are filtered out so LEFT-join
+    null-fill is exercised on real misses."""
+    from liken_ray.extras.joins import merge_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+    def open_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    right = orders.map_batches(open_orders, batch_format="pyarrow")
+    return merge_join(
+        li,
+        right,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_custkey"],
+        how="left",
+    )
+
+
 def _cross_corpus_dedup_documents(sf_dir: str):
     """Cross-corpus exact dedup: drop documents whose text appears in the
     reference slice (doc_id % 5 == 0). m_bits is deliberately small so the
@@ -974,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_documents": _stratified_sample_documents,
         "semdedup_embeddings": _semdedup_embeddings,
         "asof_join_events": _asof_join_events,
+        "merge_join_lineitem_orders": _merge_join_lineitem_orders,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1523,6 +1556,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT user_id, ts AS click_ts, event_id AS click_id "
             "FROM events WHERE event_type = 'click') r "
             "ON l.user_id = r.user_id AND l.ts > r.click_ts"
+        ),
+        "merge_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_custkey "
+            "FROM lineitem LEFT JOIN (SELECT o_orderkey, o_custkey "
+            "FROM orders WHERE o_orderstatus = 'O') o "
+            "ON l_orderkey = o_orderkey"
         ),
         "cross_corpus_dedup_documents": (
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("

@@ -45,7 +45,7 @@ import ray
 import ray.data
 from ray.data.block import BlockAccessor
 
-__all__ = ["asof_join", "broadcast_join"]
+__all__ = ["asof_join", "broadcast_join", "merge_join"]
 
 
 def _key_change(vals: np.ndarray, nullm: np.ndarray) -> np.ndarray:
@@ -264,7 +264,18 @@ def _to_arrow_blocks(ds):
     so schema introspection yields a ``pyarrow.Schema``."""
     if isinstance(_schema(ds), pa.Schema):
         return ds
-    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+    mapped = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    if _schema(mapped) is None:
+        # an EMPTY pandas-block dataset: mapping can't infer a schema (no
+        # batches ever reach the fn) and Dataset.to_pandas drops the
+        # columns on the empty round-trip — pull the underlying pandas
+        # blocks (dtypes intact) and convert directly; free by construction
+        import pandas as pd
+
+        dfs = ray.get(ds.to_pandas_refs())
+        df = pd.concat(dfs) if dfs else pd.DataFrame()
+        return ray.data.from_arrow(pa.Table.from_pandas(df))
+    return mapped
 
 
 def broadcast_join(
@@ -364,3 +375,212 @@ def broadcast_join(
         return out
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def merge_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Distributed sort-merge equi-join for two LARGE Datasets.
+
+    The relational gap ``broadcast_join`` can't cover: when the build side
+    is itself too big to ``ray.put`` (fact x fact, e.g. TPC-H
+    lineitem x orders), the only scale-safe shape is the repo's standard
+    union + ONE range sort + per-block segmented scan + O(blocks) carry
+    chain — NOT ``Dataset.join``, whose aggregator actor pools deadlock on
+    concurrent paths (CLAUDE.md). Cost model: both payloads ride through
+    one all-to-all sort shuffle (the classic sort-merge-join price), then
+    every block finalizes independently; the driver sees only O(blocks)
+    scalars plus ONE carried right row per block boundary, so a hot key
+    whose run spans many blocks stays bounded per task.
+
+    Contract (same as ``broadcast_join``): the right key must be UNIQUE —
+    enforced distributively, in-block via a segmented right-row count and
+    across block boundaries via the carry chain (a right row for a run
+    that already carried one is a duplicate). Many-to-many joins must
+    pre-aggregate one side first (the per-key cross product is unbounded
+    under skew by definition). Null keys never match (SQL equality):
+    null-key right rows are dropped at tag time; null-key left rows are
+    dropped for ``how="inner"`` and pass through null-filled for
+    ``how="left"`` — they ride the sort sentinel-encoded as an
+    (is_null, filled) pair because Ray's range sort crashes on null sort
+    keys (CLAUDE.md).
+
+    No analogue in the reference repo (/root/reference) — part of the
+    SURVEY.md §2.7 "custom operators Ray Data lacks" surface.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right_on = right_on or on
+    left = _to_arrow_blocks(left)
+    right = _to_arrow_blocks(right)
+    left_schema = _schema(left)
+    right_schema = _schema(right)
+    left_names = list(left_schema.names)
+    if on not in left_names:
+        raise ValueError(f"left side lacks column {on!r}")
+    if right_on not in right_schema.names:
+        raise ValueError(f"right side lacks column {right_on!r}")
+    if right_cols is None:
+        right_cols = [c for c in right_schema.names if c != right_on]
+    for c in right_cols:
+        if c not in right_schema.names:
+            raise ValueError(f"right side lacks column {c!r}")
+    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
+    if len(set(out_map.values())) != len(out_map):
+        raise ValueError(f"joined column names collide after suffixing: {out_map}")
+    carry_cols = list(out_map.values())
+    carry_types = {out_map[c]: right_schema.field(c).type for c in right_cols}
+    key_type = left_schema.field(on).type
+    from liken_ray.extras.relational import (
+        _nonempty_block_refs,
+        _sentinel_ident,
+        _sentinel_key_change,
+        _zero_scalar,
+    )
+
+    fill = _zero_scalar(key_type)
+    out_names = left_names + carry_cols
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch[on]
+        if how == "inner" and key.null_count:
+            # null keys can never match — prune BEFORE the shuffle
+            batch = batch.filter(pc.is_valid(key))
+            key = batch[on]
+        n = batch.num_rows
+        cols: dict[str, Any] = {
+            "_mj_knull": pc.cast(pc.is_null(key), pa.uint8()),
+            "_mj_key": pc.fill_null(key, fill) if key.null_count else key,
+            "_mj_tag": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in left_names:
+            cols[c] = batch[c]
+        for oc, typ in carry_types.items():
+            cols[oc] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = batch[right_on]
+        if key.null_count:
+            batch = batch.filter(pc.is_valid(key))
+            key = batch[right_on]
+        n = batch.num_rows
+        cols: dict[str, Any] = {
+            "_mj_knull": pa.array(np.zeros(n, dtype=np.uint8)),
+            "_mj_key": key.cast(key_type),
+            "_mj_tag": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for c in left_names:
+            cols[c] = pa.nulls(n, left_schema.field(c).type)
+        for c in right_cols:
+            cols[out_map[c]] = batch[c]
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    srt = unioned.sort(["_mj_knull", "_mj_key", "_mj_tag"]).materialize()
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        empty = pa.schema(
+            [left_schema.field(c) for c in left_names]
+            + [pa.field(oc, t) for oc, t in carry_types.items()]
+        )
+        return ray.data.from_arrow(empty.empty_table())
+
+    @ray.remote
+    def summarize(block) -> dict:
+        t = BlockAccessor.for_block(block).to_arrow()
+        first = _sentinel_ident(t, "_mj_knull", "_mj_key", 0)
+        last = _sentinel_ident(t, "_mj_knull", "_mj_key", t.num_rows - 1)
+        change = _sentinel_key_change(t, "_mj_knull", "_mj_key")
+        last_start = int(np.flatnonzero(change)[-1])
+        tag = t["_mj_tag"].to_numpy(zero_copy_only=False)
+        tail = None
+        # the (unique) right row of a run sorts FIRST in the run, so if
+        # this block holds the last run's right row it sits at last_start;
+        # null runs never carry (right null keys were dropped at tag time)
+        if not last[0] and tag[last_start] == 0:
+            tail = {c: t[c][last_start].as_py() for c in carry_cols}
+        return {"first": first, "last": last, "tail": tail}
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    carry_in: list[dict | None] = []
+    cur: tuple | None = None
+    have = False
+    cur_payload: dict | None = None
+    for s in summaries:
+        same_start = have and s["first"] == cur
+        carry_in.append(cur_payload if same_start else None)
+        if same_start and s["first"] == s["last"]:
+            # block lies entirely inside the current run
+            if s["tail"] is not None:
+                if cur_payload is not None:
+                    raise ValueError(
+                        f"merge_join: right key {right_on!r} is not unique "
+                        f"(duplicate at key {s['first'][1]!r})"
+                    )
+                cur_payload = s["tail"]
+        else:
+            cur, have = s["last"], True
+            cur_payload = s["tail"]
+
+    @ray.remote
+    def finalize(block, carry: dict | None):
+        t = BlockAccessor.for_block(block).to_arrow()
+        change = _sentinel_key_change(t, "_mj_knull", "_mj_key")
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        tag = t["_mj_tag"].to_numpy(zero_copy_only=False)
+        is_right = tag == 0
+        counts = np.add.reduceat(is_right.astype(np.int64), starts)
+        if carry is not None:
+            counts[0] += 1
+        if (counts > 1).any():
+            bad = int(starts[np.argmax(counts > 1)])
+            raise ValueError(
+                f"merge_join: right key {right_on!r} is not unique "
+                f"(duplicate at key {t['_mj_key'][bad].as_py()!r})"
+            )
+        run_start = starts[seg]
+        sel_left = np.flatnonzero(~is_right)
+        hit_in = is_right[run_start[sel_left]]
+        from_carry = (
+            (seg[sel_left] == 0) & ~hit_in
+            if carry is not None
+            else np.zeros(len(sel_left), dtype=bool)
+        )
+        if how == "inner":
+            keep = hit_in | from_carry
+            sel_left = sel_left[keep]
+            hit_in = hit_in[keep]
+            from_carry = from_carry[keep]
+        m = run_start[sel_left]
+        cols: dict[str, Any] = {}
+        take_left = pa.array(sel_left, pa.int64())
+        for c in left_names:
+            cols[c] = t[c].take(take_left)
+        take_idx = pa.array(np.where(hit_in, m, 0), pa.int64())
+        hits = pa.array(hit_in)
+        for oc in carry_cols:
+            arr = t[oc].take(take_idx)
+            if not hit_in.all():
+                arr = pc.if_else(hits, arr, pa.scalar(None, type=carry_types[oc]))
+            if from_carry.any():
+                arr = pc.if_else(
+                    pa.array(from_carry),
+                    pa.scalar(carry[oc], type=carry_types[oc]),
+                    arr,
+                )
+            cols[oc] = arr
+        return pa.table({c: cols[c] for c in out_names})
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
+    )

@@ -97,3 +97,25 @@ def test_cli_entrypoint(ray_session, tmp_path):
     assert files
     total = sum(pq.read_metadata(f).num_rows for f in files)
     assert total == 200
+
+
+def test_extras_facade_exports():
+    """Every documented LLM-pipeline operator is importable from the
+    liken_ray.extras facade, and __all__ is exact (no dead names)."""
+    import liken_ray.extras as ex
+
+    assert len(ex.__all__) == len(set(ex.__all__))
+    for name in ex.__all__:
+        assert callable(getattr(ex, name)), name
+    # one spot-check per family
+    from liken_ray.extras import (  # noqa: F401
+        asof_join,
+        group_topk,
+        hll_registers,
+        merge_join,
+        minhash_dedup,
+        quality_metrics,
+        semdedup,
+        sessionize,
+        topk_cosine_bruteforce,
+    )

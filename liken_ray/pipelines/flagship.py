@@ -399,6 +399,38 @@ _PAIR_DECISIONS: dict = {}
 _PAIR_DECISIONS_MAX = 4_000_000
 
 
+def _pair_memo(run_token: str) -> dict:
+    """Per-run pair-decision memo (process-global across blocks — workers
+    are long-lived). A NEW run token drops every older run's entries at
+    once, so stale runs can't pin memory and keys stay token-free."""
+    memo = _PAIR_DECISIONS.get(run_token)
+    if memo is None:
+        _PAIR_DECISIONS.clear()
+        memo = _PAIR_DECISIONS[run_token] = {}
+    return memo
+
+
+def _sorted_inter_count(ga: np.ndarray, gb: np.ndarray) -> int:
+    """|A ∩ B| for sorted unique arrays via one searchsorted probe of the
+    smaller into the larger — no concatenation re-sort per pair."""
+    if len(ga) > len(gb):
+        ga, gb = gb, ga
+    if not len(ga) or not len(gb):
+        return 0
+    pos = np.searchsorted(gb, ga)
+    np.minimum(pos, len(gb) - 1, out=pos)
+    return int(np.count_nonzero(gb[pos] == ga))
+
+
+def _sorted_member(g: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``probe`` in sorted unique array ``g``."""
+    if not len(g):
+        return np.zeros(len(probe), dtype=bool)
+    pos = np.searchsorted(g, probe)
+    np.minimum(pos, len(g) - 1, out=pos)
+    return g[pos] == probe
+
+
 def _sketch_entries(col, idxs: np.ndarray, ngram: int):
     """Verify metadata for the sketch payload column over the involved
     positions, built in ONE vectorized pass (the former per-pair lazy
@@ -499,10 +531,10 @@ def caption_sketch_verify_kernel(
         col = col.combine_chunks()
     if RID in batch.column_names:
         rid_col = batch[RID].to_numpy(zero_copy_only=False)
-        decided = _PAIR_DECISIONS
+        decided = _pair_memo(run_token)
     else:  # driver cross-block summary table: positions are already unique
         rid_col = np.arange(batch.num_rows, dtype=np.int64)
-        decided = {}
+        decided = None
     P = len(sp)
     accept = np.zeros(P, dtype=bool)
     borderline = np.zeros(P, dtype=bool)
@@ -513,18 +545,34 @@ def caption_sketch_verify_kernel(
     # memo hit skips that pair's gram reconstruction entirely. RID-less
     # callers (driver summary tables, pair-scope verify) guarantee
     # distinct pairs — a memo can never hit, so skip the python key loop.
-    keys: list[tuple] = []
-    if decided is _PAIR_DECISIONS:
+    # Keys are canonical (lo, hi) rid pairs PACKED into one uint64 when
+    # rids fit 32 bits (python-int hashing is ~3x a 3-tuple's; the tuple
+    # path is the >2^32-rid fallback) — run_token no longer rides in the
+    # key, the memo dict itself is per-run (_pair_memo).
+    keys: list = []
+    if decided is not None:
+        ra = rid_col[sp]
+        rb = rid_col[dp]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        if int(lo.min()) >= 0 and int(hi.max()) < (1 << 32):
+            packed = (lo.astype(np.uint64) << np.uint64(32)) | hi.astype(
+                np.uint64
+            )
+            key_list = packed.tolist()
+        else:
+            key_list = list(zip(lo.tolist(), hi.tolist()))
         miss_idx: list[int] = []
-        for i, (a, b) in enumerate(zip(sp.tolist(), dp.tolist())):
-            ra, rb = int(rid_col[a]), int(rid_col[b])
-            key = (run_token, ra, rb) if ra < rb else (run_token, rb, ra)
-            prev = decided.get(key)
-            if prev is not None:
-                accept[i], borderline[i] = prev
-            else:
+        get = decided.get
+        for i, key in enumerate(key_list):
+            prev = get(key)
+            if prev is None:
                 keys.append(key)
                 miss_idx.append(i)
+            elif prev == 1:
+                accept[i] = True
+            elif prev == 2:
+                borderline[i] = True
         if not miss_idx:
             return accept, borderline
         miss = np.asarray(miss_idx, dtype=np.int64)
@@ -554,20 +602,38 @@ def caption_sketch_verify_kernel(
     mx = np.maximum(na, nb)
     undecided = ~has_null & ~both_empty & (mn > tmin * mx)
 
-    # 4) python loop only over pairs the bound could not decide
+    # 4) python loop only over pairs the bound could not decide. Gram
+    # arrays are SORTED UNIQUE (see _sketch_entries), so intersections
+    # and the KMV bottom-k come from searchsorted merges — identical
+    # integer-exact decisions, ~2-3x cheaper than the former
+    # intersect1d/union1d calls that re-sorted the concatenation per pair
     for j in np.flatnonzero(undecided).tolist():
         a, b = int(msp[j]), int(mdp[j])
         ga, gb = grams[a], grams[b]
         if kind[a] == 0 and kind[b] == 0:
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            inter = _sorted_inter_count(ga, gb)
             union = int(na[j]) + int(nb[j]) - inter
             macc[j] = bool(union) and inter / union > tmin
         else:
-            union = np.union1d(ga, gb)
-            kk = min(k, len(union))
-            bottom = union[:kk]
-            inter = np.intersect1d(ga, gb, assume_unique=True)
-            est = len(np.intersect1d(bottom, inter, assume_unique=True)) / kk
+            # bottom-k of the union needs only each side's k smallest
+            # (both already sorted); the estimate counts bottom elements
+            # present in BOTH sides — provably equal to the old
+            # |bottom-k(A ∪ B) ∩ A ∩ B| on full arrays
+            u = np.concatenate([ga[:k], gb[:k]])
+            u.sort()
+            if len(u):
+                keep = np.empty(len(u), dtype=bool)
+                keep[0] = True
+                np.not_equal(u[1:], u[:-1], out=keep[1:])
+                u = u[keep]
+            kk = min(k, len(u))
+            bottom = u[:kk]
+            hits = int(
+                np.count_nonzero(
+                    _sorted_member(ga, bottom) & _sorted_member(gb, bottom)
+                )
+            )
+            est = hits / kk
             if est > tmin + eps:
                 macc[j] = True
             elif est > tmin - eps:
@@ -575,10 +641,11 @@ def caption_sketch_verify_kernel(
 
     # 5) memo-write every miss decision (incl. vector-decided ones: a later
     # band hit then skips the pair AND its rows' gram reconstruction)
-    if len(decided) > _PAIR_DECISIONS_MAX:
-        decided.clear()
-    for key, av, bv in zip(keys, macc.tolist(), mbrd.tolist()):
-        decided[key] = (av, bv)
+    if decided is not None:
+        if len(decided) > _PAIR_DECISIONS_MAX:
+            decided.clear()
+        for key, av, bv in zip(keys, macc.tolist(), mbrd.tolist()):
+            decided[key] = 1 if av else (2 if bv else 0)
     accept[miss] = macc
     borderline[miss] = mbrd
     return accept, borderline

@@ -58,6 +58,28 @@ def _key_change(vals: np.ndarray, nullm: np.ndarray) -> np.ndarray:
     return change
 
 
+def _right_out_map(
+    left_names: list[str], right_cols: list[str], suffix: str
+) -> dict[str, str]:
+    """Output name for each carried right column: ``name+suffix`` iff it
+    collides with a left column. Raises if any FINAL name still collides —
+    with another carried column OR with a left column (a suffixed name
+    landing on an existing left column would silently overwrite that left
+    column's data in the tag/finalize stages, so it must be loud here)."""
+    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
+    final = list(out_map.values())
+    clash = sorted(
+        (set(final) & set(left_names))
+        | {n for n in final if final.count(n) > 1}
+    )
+    if clash:
+        raise ValueError(
+            f"carried column names collide after suffixing: {clash!r} "
+            f"(map {out_map!r} vs left columns; rename or change suffix)"
+        )
+    return out_map
+
+
 def asof_join(
     left,
     right,
@@ -91,9 +113,7 @@ def asof_join(
     for c in [on, by, *right_cols]:
         if c not in right_schema.names:
             raise ValueError(f"right side lacks column {c!r}")
-    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
-    if len(set(out_map.values())) != len(out_map):
-        raise ValueError(f"carried column names collide after suffixing: {out_map}")
+    out_map = _right_out_map(left_names, right_cols, suffix)
 
     left_schema = _schema(left)
     carry_types = {out_map[c]: right_schema.field(c).type for c in right_cols}
@@ -324,9 +344,7 @@ def broadcast_join(
     left_names = list(_schema(ds).names)
     if on not in left_names:
         raise ValueError(f"fact side lacks column {on!r}")
-    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
-    if len(set(out_map.values())) != len(out_map):
-        raise ValueError(f"joined column names collide after suffixing: {out_map}")
+    out_map = _right_out_map(left_names, right_cols, suffix)
     payload = dim.select(right_cols).take(pa.array(order, pa.int64()))
     dim_ref = ray.put((kv_sorted, payload))
     dim_types = {out_map[c]: dim.schema.field(c).type for c in right_cols}
@@ -407,9 +425,13 @@ def merge_join(
     under skew by definition). Null keys never match (SQL equality):
     null-key right rows are dropped at tag time; null-key left rows are
     dropped for ``how="inner"`` and pass through null-filled for
-    ``how="left"`` — they ride the sort sentinel-encoded as an
-    (is_null, filled) pair because Ray's range sort crashes on null sort
-    keys (CLAUDE.md).
+    ``how="left"``. Float NaN keys DO match each other — pandas ``merge``
+    and DuckDB both treat NaN = NaN as true in equi-joins, so silently
+    dropping them would diverge from the oracle. Both ride the sort
+    sentinel-encoded as a (variant, filled-key) pair — variant 0 = real
+    key, 1 = NaN (one matchable run), 2 = null (never matches) — because
+    Ray's range sort crashes on null sort keys and NaN boundaries /
+    NaN != NaN comparisons would otherwise split runs (CLAUDE.md).
 
     No analogue in the reference repo (/root/reference) — part of the
     SURVEY.md §2.7 "custom operators Ray Data lacks" surface.
@@ -431,9 +453,7 @@ def merge_join(
     for c in right_cols:
         if c not in right_schema.names:
             raise ValueError(f"right side lacks column {c!r}")
-    out_map = {c: (c + suffix if c in left_names else c) for c in right_cols}
-    if len(set(out_map.values())) != len(out_map):
-        raise ValueError(f"joined column names collide after suffixing: {out_map}")
+    out_map = _right_out_map(left_names, right_cols, suffix)
     carry_cols = list(out_map.values())
     carry_types = {out_map[c]: right_schema.field(c).type for c in right_cols}
     key_type = left_schema.field(on).type
@@ -445,7 +465,23 @@ def merge_join(
     )
 
     fill = _zero_scalar(key_type)
+    nan_keys = pa.types.is_floating(key_type)
     out_names = left_names + carry_cols
+
+    def _variant_and_filled(key) -> tuple[pa.Array, Any]:
+        """(variant uint8 array, filled key) for a possibly-null,
+        possibly-NaN key column: 0 = real, 1 = NaN, 2 = null."""
+        filled = pc.fill_null(key, fill) if key.null_count else key
+        isnull = pc.is_null(key).to_numpy(zero_copy_only=False)
+        if nan_keys:
+            nan_mask = pc.fill_null(pc.is_nan(key), False)
+            isnan = nan_mask.to_numpy(zero_copy_only=False)
+            if isnan.any():
+                filled = pc.if_else(nan_mask, fill, filled)
+        else:
+            isnan = np.zeros(len(isnull), dtype=bool)
+        variant = isnull.astype(np.uint8) * 2 + isnan.astype(np.uint8)
+        return pa.array(variant), filled
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = batch[on]
@@ -454,9 +490,10 @@ def merge_join(
             batch = batch.filter(pc.is_valid(key))
             key = batch[on]
         n = batch.num_rows
+        variant, filled = _variant_and_filled(key)
         cols: dict[str, Any] = {
-            "_mj_knull": pc.cast(pc.is_null(key), pa.uint8()),
-            "_mj_key": pc.fill_null(key, fill) if key.null_count else key,
+            "_mj_knull": variant,
+            "_mj_key": filled,
             "_mj_tag": pa.array(np.ones(n, dtype=np.int8)),
         }
         for c in left_names:
@@ -471,9 +508,10 @@ def merge_join(
             batch = batch.filter(pc.is_valid(key))
             key = batch[right_on]
         n = batch.num_rows
+        variant, filled = _variant_and_filled(key.cast(key_type))
         cols: dict[str, Any] = {
-            "_mj_knull": pa.array(np.zeros(n, dtype=np.uint8)),
-            "_mj_key": key.cast(key_type),
+            "_mj_knull": variant,
+            "_mj_key": filled,
             "_mj_tag": pa.array(np.zeros(n, dtype=np.int8)),
         }
         for c in left_names:
@@ -505,8 +543,9 @@ def merge_join(
         tail = None
         # the (unique) right row of a run sorts FIRST in the run, so if
         # this block holds the last run's right row it sits at last_start;
-        # null runs never carry (right null keys were dropped at tag time)
-        if not last[0] and tag[last_start] == 0:
+        # null runs (variant 2) never carry (right null keys were dropped
+        # at tag time) — the NaN run (variant 1) carries like a real key
+        if last[0] != 2 and tag[last_start] == 0:
             tail = {c: t[c][last_start].as_py() for c in carry_cols}
         return {"first": first, "last": last, "tail": tail}
 
@@ -522,9 +561,10 @@ def merge_join(
             # block lies entirely inside the current run
             if s["tail"] is not None:
                 if cur_payload is not None:
+                    badk = float("nan") if s["first"][0] == 1 else s["first"][1]
                     raise ValueError(
                         f"merge_join: right key {right_on!r} is not unique "
-                        f"(duplicate at key {s['first'][1]!r})"
+                        f"(duplicate at key {badk!r})"
                     )
                 cur_payload = s["tail"]
         else:
@@ -544,9 +584,14 @@ def merge_join(
             counts[0] += 1
         if (counts > 1).any():
             bad = int(starts[np.argmax(counts > 1)])
+            badk = (
+                float("nan")
+                if t["_mj_knull"][bad].as_py() == 1
+                else t["_mj_key"][bad].as_py()
+            )
             raise ValueError(
                 f"merge_join: right key {right_on!r} is not unique "
-                f"(duplicate at key {t['_mj_key'][bad].as_py()!r})"
+                f"(duplicate at key {badk!r})"
             )
         run_start = starts[seg]
         sel_left = np.flatnonzero(~is_right)

@@ -63,9 +63,14 @@ def _sentinel_key_change(t: pa.Table, null_col: str, key_col: str) -> np.ndarray
 
 
 def _sentinel_ident(t: pa.Table, null_col: str, key_col: str, i: int) -> tuple:
-    """Cross-block key identity at row ``i``: the exact (is_null, filled)
-    pair as plain Python values."""
-    return (bool(t[null_col][i].as_py()), t[key_col][i].as_py())
+    """Cross-block key identity at row ``i``: the exact (flag, filled key)
+    pair as plain Python values. The flag is kept as its raw INT so callers
+    may encode more than two variants (merge_join uses 0=real, 1=NaN,
+    2=null); int 0/1 still compare equal to False/True for the binary
+    users. Comparing the filled pair instead of the raw key also keeps
+    float NaN out of the ident (NaN != NaN would break driver-side run
+    chaining)."""
+    return (int(t[null_col][i].as_py()), t[key_col][i].as_py())
 
 
 def _nonempty_block_refs(srt):

@@ -397,15 +397,20 @@ def caption_verify_kernel(batch: pa.Table, sp: np.ndarray, dp: np.ndarray, *, ng
 # rebuilding gram sets vectorized per block is cheaper than caching them.)
 _PAIR_DECISIONS: dict = {}
 _PAIR_DECISIONS_MAX = 4_000_000
+_PAIR_RUNS_MAX = 4
 
 
 def _pair_memo(run_token: str) -> dict:
     """Per-run pair-decision memo (process-global across blocks — workers
-    are long-lived). A NEW run token drops every older run's entries at
-    once, so stale runs can't pin memory and keys stay token-free."""
+    are long-lived). Up to ``_PAIR_RUNS_MAX`` runs coexist — concurrent
+    pipelines sharing a cluster's workers interleave batches, and wiping
+    the table on every token switch would zero BOTH runs' hit rates.
+    Beyond the cap the OLDEST run's entries drop wholesale (dict insertion
+    order), so stale runs can't pin memory and keys stay token-free."""
     memo = _PAIR_DECISIONS.get(run_token)
     if memo is None:
-        _PAIR_DECISIONS.clear()
+        while len(_PAIR_DECISIONS) >= _PAIR_RUNS_MAX:
+            _PAIR_DECISIONS.pop(next(iter(_PAIR_DECISIONS)))
         memo = _PAIR_DECISIONS[run_token] = {}
     return memo
 

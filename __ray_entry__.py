@@ -944,6 +944,75 @@ def _merge_join_lineitem_orders(sf_dir: str):
     )
 
 
+def _group_shift_events(sf_dir: str):
+    """Per-user LAG(value): each event's previous value in (ts, event_id)
+    order — ONE range sort + per-block shift with an O(periods) rolling
+    carry buffer chained across blocks. Oracle: SQL LAG window."""
+    from liken_ray.extras.relational import group_shift
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return group_shift(
+        ev, "user_id", ["ts", "event_id"], ["value"], periods=1,
+        out_names=["value_lag"],
+    )
+
+
+def _range_join_click_windows(sf_dir: str):
+    """Point-in-interval join, intervals derived by the engine itself:
+    every click opens a window [click_ts, min(next_click_ts, +1h)) per
+    user (next_click via group_shift LEAD — dogfooding), then every event
+    is range-joined to the window containing it. Exercises the end-bound
+    trim (gapped intervals → real null misses between windows), unlike
+    asof_join which always matches once a key has any earlier row."""
+    from liken_ray.extras.joins import range_join
+    from liken_ray.extras.relational import group_shift
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def clicks(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "click"))
+        return pa.table(
+            {"user_id": t["user_id"], "cs": t["ts"], "click_id": t["event_id"]}
+        )
+
+    cl = ev.map_batches(clicks, batch_format="pyarrow")
+    iv = group_shift(cl, "user_id", ["cs"], ["cs"], periods=-1, out_names=["next_cs"])
+
+    def cap(batch: pa.Table) -> pa.Table:
+        one_h = pc.add(batch["cs"], pa.scalar(3_600_000_000, pa.duration("us")))
+        ce = pc.min_element_wise(pc.fill_null(batch["next_cs"], one_h), one_h)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cs": batch["cs"],
+                "ce": ce,
+                "click_id": batch["click_id"],
+            }
+        )
+
+    windows = iv.map_batches(cap, batch_format="pyarrow")
+    return range_join(
+        ev, windows, on="ts", by="user_id", start_col="cs", end_col="ce",
+        right_cols=["click_id"], how="left", closed="left",
+    )
+
+
+def _line_dedup_documents(sf_dir: str):
+    """C4-style corpus-wide exact segment dedup (delimiter ' ' on the
+    synthetic word-soup corpus): keep only the globally first occurrence
+    of each segment, reassemble every document in original order. Two
+    range sorts + O(blocks) boundary stitching; oracle is the SQL
+    unnest → ROW_NUMBER() = 1 → string_agg round trip."""
+    from liken_ray.extras.curation import line_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_dedup(docs, delim=" ")
+
+
 def _cross_corpus_dedup_documents(sf_dir: str):
     """Cross-corpus exact dedup: drop documents whose text appears in the
     reference slice (doc_id % 5 == 0). m_bits is deliberately small so the
@@ -1007,6 +1076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "asof_join_events": _asof_join_events,
         "merge_join_lineitem_orders": _merge_join_lineitem_orders,
+        "group_shift_events": _group_shift_events,
+        "range_join_click_windows": _range_join_click_windows,
+        "line_dedup_documents": _line_dedup_documents,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1562,6 +1634,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN (SELECT o_orderkey, o_custkey "
             "FROM orders WHERE o_orderstatus = 'O') o "
             "ON l_orderkey = o_orderkey"
+        ),
+        "group_shift_events": (
+            "SELECT event_id, ts, user_id, event_type, value, "
+            "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS value_lag FROM events"
+        ),
+        "range_join_click_windows": (
+            "WITH cl AS (SELECT user_id, ts AS cs, event_id AS cid "
+            "FROM events WHERE event_type = 'click'), "
+            "iv AS (SELECT user_id, cs, cid, "
+            "LEAST(COALESCE(LEAD(cs) OVER (PARTITION BY user_id ORDER BY cs), "
+            "cs + INTERVAL 1 HOUR), cs + INTERVAL 1 HOUR) AS ce FROM cl) "
+            "SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, "
+            "iv.cid AS click_id FROM events e LEFT JOIN iv "
+            "ON e.user_id = iv.user_id AND e.ts >= iv.cs AND e.ts < iv.ce"
+        ),
+        "line_dedup_documents": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS line, "
+            "generate_subscripts(string_split(text, ' '), 1) AS ord "
+            "FROM documents WHERE text IS NOT NULL), "
+            "firsts AS (SELECT doc_id, ord, line, ROW_NUMBER() OVER ("
+            "PARTITION BY line ORDER BY doc_id, ord) AS rn FROM lines), "
+            "agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY ord) AS kept "
+            "FROM firsts WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
+            "ELSE COALESCE(a.kept, '') END AS text "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "cross_corpus_dedup_documents": (
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("

@@ -33,6 +33,7 @@ from liken_ray.extras.ann import (
 )
 from liken_ray.extras.curation import (
     contamination_index,
+    line_dedup,
     corpus_ngram_counts,
     cross_corpus_dedup,
     decontaminate,
@@ -51,7 +52,7 @@ from liken_ray.extras.dedup_text import (
     ngram_jaccard_dedup,
     simhash_dedup,
 )
-from liken_ray.extras.joins import asof_join, broadcast_join, merge_join
+from liken_ray.extras.joins import asof_join, broadcast_join, merge_join, range_join
 from liken_ray.extras.multimodal import (
     audio_feature_extract,
     image_features,
@@ -60,6 +61,7 @@ from liken_ray.extras.multimodal import (
 )
 from liken_ray.extras.relational import (
     group_quantiles,
+    group_shift,
     group_topk,
     quantiles,
     table_profile,
@@ -118,8 +120,10 @@ __all__ = [
     "pack_offsets",
     "cross_corpus_dedup",
     "corpus_ngram_counts",
+    "line_dedup",
     # relational
     "group_topk",
+    "group_shift",
     "quantiles",
     "group_quantiles",
     "table_profile",
@@ -127,6 +131,7 @@ __all__ = [
     "asof_join",
     "broadcast_join",
     "merge_join",
+    "range_join",
     # sketches
     "hll_registers",
     "hll_estimate",

@@ -1214,3 +1214,219 @@ def common_gram_coverage(
         )
 
     return ds.map_batches(coverage, batch_format="pyarrow")
+
+
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_len: int = 0,
+):
+    """C4-style corpus-wide exact segment dedup: split every document on
+    ``delim``, keep only the globally FIRST occurrence of each distinct
+    segment (ordered by ``(id, position)``), and reassemble each document
+    from its surviving segments in original order. Returns a Dataset of
+    ``(id_col, text_col)`` with one row per input document — a document
+    whose every segment was dropped comes back as ``""``; a null input
+    text stays null. Segments shorter than ``min_len`` codepoints are
+    exempt (always kept, never dedupe others) — the C4 rule only targets
+    boilerplate-length lines.
+
+    Plan (all established idioms — no groupby, no Dataset.join):
+      1. vectorized explode in ``map_batches``: ``split_pattern`` +
+         ``list_flatten``, positions from offsets arithmetic;
+      2. ONE range sort by ``(variant, segment, id, pos)`` — the global
+         first of each segment run is its block-local run start, corrected
+         across block boundaries by an O(blocks) ident chain (variant 0 =
+         dedupable, 1 = short-exempt, 2 = null-doc placeholder);
+      3. a second range sort by ``(id, pos)`` and a per-block vectorized
+         reassembly (``binary_join`` over offsets), ``num_returns=2``:
+         interior documents stay in the object store; only the two
+         boundary fragments per block reach the driver, which stitches
+         documents spanning blocks (O(blocks) fragments, each bounded by
+         one document's text).
+
+    At 100 TB the only payload shuffled is the segment text itself (twice
+    — the classic price of exact corpus-level dedup); driver state is
+    O(blocks x max-doc-bytes) from the boundary fragments.
+
+    Reference: the C4 dataset's three-sentence/line dedup (Raffel et al.,
+    "Exploring the Limits of Transfer Learning", JMLR 2020, §2.2) — no
+    analogue in /root/reference; part of the SURVEY §2.7 LLM-curation
+    surface.
+    """
+    if not delim:
+        raise ValueError("delim must be a non-empty string")
+    if min_len < 0:
+        raise ValueError(f"min_len must be >= 0, got {min_len}")
+    from ray.data.block import BlockAccessor
+
+    from liken_ray.extras.joins import _schema, _to_arrow_blocks
+    from liken_ray.extras.relational import (
+        _nonempty_block_refs,
+        _sentinel_ident,
+        _sentinel_key_change,
+    )
+
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    for c in (text_col, id_col):
+        if c not in schema.names:
+            raise KeyError(f"column {c!r} not in dataset ({list(schema.names)})")
+    txt_type = schema.field(text_col).type
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = _exact_ids(batch[id_col], id_col)
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        nullm = pc.is_null(txt).to_numpy(zero_copy_only=False)
+        segs = pc.split_pattern(pc.fill_null(txt, ""), delim)
+        lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(segs)
+        total = int(lens.sum())
+        rep_ids = np.repeat(ids, lens)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:] if len(lens) > 1 else starts[:0])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        variant = np.repeat(nullm.astype(np.uint8) * 2, lens)
+        if min_len > 0:
+            short = (
+                pc.utf8_length(flat).to_numpy(zero_copy_only=False) < min_len
+            )
+            variant = np.where((variant == 0) & short, 1, variant).astype(np.uint8)
+        return pa.table(
+            {
+                "_ld_id": pa.array(rep_ids, pa.int64()),
+                "_ld_pos": pa.array(pos, pa.int64()),
+                "_ld_seg": flat,
+                "_ld_v": pa.array(variant),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    srt1 = exploded.sort(["_ld_v", "_ld_seg", "_ld_id", "_ld_pos"]).materialize()
+    refs1 = _nonempty_block_refs(srt1)
+    if not refs1:
+        out_schema = pa.schema(
+            [pa.field(id_col, pa.int64()), pa.field(text_col, txt_type)]
+        )
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def seg_summary(block) -> tuple:
+        t = BlockAccessor.for_block(block).to_arrow()
+        return (
+            _sentinel_ident(t, "_ld_v", "_ld_seg", 0),
+            _sentinel_ident(t, "_ld_v", "_ld_seg", t.num_rows - 1),
+        )
+
+    idents = ray.get([seg_summary.remote(r) for r in refs1])
+    dup_first = [False]
+    for i in range(1, len(idents)):
+        dup_first.append(idents[i][0] == idents[i - 1][1])
+    # a run spanning 3+ blocks: middle blocks' first ident equals the
+    # PREVIOUS block's last ident transitively — the pairwise check above
+    # already covers it (each middle block starts with the same ident)
+
+    @ray.remote
+    def mark_keep(block, dup0: bool):
+        t = BlockAccessor.for_block(block).to_arrow()
+        change = _sentinel_key_change(t, "_ld_v", "_ld_seg")
+        keep = change.copy()
+        if dup0:
+            keep[0] = False
+        v = t["_ld_v"].to_numpy(zero_copy_only=False)
+        keep[v == 1] = True
+        keep[v == 2] = False
+        return t.append_column("_ld_keep", pa.array(keep))
+
+    flagged = ray.data.from_arrow_refs(
+        [mark_keep.remote(r, d) for r, d in zip(refs1, dup_first)]
+    )
+    srt2 = flagged.sort(["_ld_id", "_ld_pos"]).materialize()
+    refs2 = _nonempty_block_refs(srt2)
+
+    @ray.remote(num_returns=2)
+    def reassemble(block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        ids = t["_ld_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        keep = t["_ld_keep"].to_numpy(zero_copy_only=False)
+        v = t["_ld_v"].to_numpy(zero_copy_only=False)
+        kept_per_run = np.add.reduceat(keep.astype(np.int64), starts)
+        null_run = np.add.reduceat((v == 2).astype(np.int64), starts) > 0
+        seg = t["_ld_seg"]
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()
+        flat_kept = seg.filter(pa.array(keep))
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(kept_per_run, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), flat_kept.cast(pa.large_string())
+            ),
+            pa.scalar(delim, pa.large_string()),
+        )
+        joined = pc.fill_null(joined, "")
+        texts = pc.if_else(
+            pa.array(null_run), pa.scalar(None, pa.large_string()), joined
+        ).cast(txt_type)
+        run_ids = ids[starts]
+        nruns = len(starts)
+        frag_idx = [0] if nruns == 1 else [0, nruns - 1]
+        frags = [
+            {
+                "id": int(run_ids[i]),
+                "text": texts[i].as_py(),
+                "nkept": int(kept_per_run[i]),
+                "isnull": bool(null_run[i]),
+            }
+            for i in frag_idx
+        ]
+        interior = pa.table(
+            {
+                id_col: pa.array(run_ids[1 : nruns - 1], pa.int64()),
+                text_col: texts.slice(1, max(0, nruns - 2)),
+            }
+        )
+        return interior, frags
+
+    interior_refs = []
+    frag_refs = []
+    for r in refs2:
+        ib, fb = reassemble.remote(r)
+        interior_refs.append(ib)
+        frag_refs.append(fb)
+    frag_lists = ray.get(frag_refs)
+    merged: list[dict] = []
+    for frags in frag_lists:
+        for f in frags:
+            if merged and merged[-1]["id"] == f["id"]:
+                a = merged[-1]
+                if a["isnull"] or f["isnull"]:
+                    a["isnull"] = True
+                    a["text"] = None
+                elif a["nkept"] and f["nkept"]:
+                    a["text"] = a["text"] + delim + f["text"]
+                elif f["nkept"]:
+                    a["text"] = f["text"]
+                a["nkept"] += f["nkept"]
+            else:
+                merged.append(dict(f))
+    boundary = pa.table(
+        {
+            id_col: pa.array([f["id"] for f in merged], pa.int64()),
+            text_col: pa.array(
+                [None if f["isnull"] else f["text"] for f in merged], pa.string()
+            ).cast(txt_type),
+        }
+    )
+    return ray.data.from_arrow_refs(interior_refs).union(
+        ray.data.from_arrow(boundary)
+    )

@@ -45,7 +45,7 @@ import ray
 import ray.data
 from ray.data.block import BlockAccessor
 
-__all__ = ["asof_join", "broadcast_join", "merge_join"]
+__all__ = ["asof_join", "broadcast_join", "merge_join", "range_join"]
 
 
 def _key_change(vals: np.ndarray, nullm: np.ndarray) -> np.ndarray:
@@ -629,3 +629,116 @@ def merge_join(
     return ray.data.from_arrow_refs(
         [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
     )
+
+
+def range_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    start_col: str,
+    end_col: str,
+    right_cols: list[str] | None = None,
+    how: str = "left",
+    closed: str = "left",
+    suffix: str = "_r",
+):
+    """Point-in-interval join: each left row (point ``on``, key ``by``) is
+    joined to the right interval ``[start_col, end_col)`` (``closed="left"``)
+    or ``[start_col, end_col]`` (``closed="both"``) of the same key that
+    contains it; a null ``end_col`` means an open-ended interval.
+
+    Built on :func:`asof_join` — one union + range sort + LOCF carry chain,
+    no ``Dataset.join`` — plus a vectorized end-bound trim: the as-of match
+    (latest interval with ``start <= point``) is the ONLY candidate when
+    intervals of a key do not overlap, so the trim merely invalidates
+    matches whose interval ended before the point.
+
+    Contract: intervals must be non-overlapping per key with unique, non-
+    null ``(by, start_col)`` (inherited from ``asof_join``'s right-side
+    uniqueness — an overlapping interval set makes the match multiplicity
+    per point unbounded under skew and is a different operator). ``how`` is
+    ``"left"`` (null-fill points in no interval) or ``"inner"`` (drop
+    them). Carried columns colliding with left names get ``suffix``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    left = _to_arrow_blocks(left)
+    right = _to_arrow_blocks(right)
+    left_schema = _schema(left)
+    right_schema = _schema(right)
+    left_names = list(left_schema.names)
+    for c in (on, by):
+        if c not in left_names:
+            raise ValueError(f"left side lacks column {c!r}")
+    for c in (by, start_col, end_col):
+        if c not in right_schema.names:
+            raise ValueError(f"right side lacks column {c!r}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right_schema.names if c not in (by, start_col, end_col)
+        ]
+    for c in right_cols:
+        if c not in right_schema.names:
+            raise ValueError(f"right side lacks column {c!r}")
+    reserved = {"_rj_m", "_rj_end", on}
+    bad = sorted(reserved & set(right_cols)) + (
+        sorted({"_rj_m", "_rj_end"} & set(left_names))
+    )
+    if bad:
+        raise ValueError(f"reserved/conflicting column names: {bad!r}")
+    on_type = left_schema.field(on).type
+    out_map = _right_out_map(left_names, right_cols, suffix)
+
+    def intervals(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {
+            by: batch[by],
+            on: batch[start_col].cast(on_type),
+            "_rj_m": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            "_rj_end": batch[end_col].cast(on_type),
+        }
+        for c in right_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    j = asof_join(
+        left,
+        right.map_batches(intervals, batch_format="pyarrow"),
+        on=on,
+        by=by,
+        right_cols=["_rj_m", "_rj_end", *right_cols],
+        strict=False,
+        suffix=suffix,
+    )
+    carried_types = {
+        out_map[c]: right_schema.field(c).type for c in right_cols
+    }
+    cmp = pc.less if closed == "left" else pc.less_equal
+
+    def trim(batch: pa.Table) -> pa.Table:
+        matched = pc.fill_null(pc.equal(batch["_rj_m"], 1), False)
+        # or_kleene: True | null must stay True (open-ended interval with a
+        # null end bound); plain or_ would propagate the null and the
+        # fill_null below would drop a genuine match
+        in_range = pc.fill_null(
+            pc.or_kleene(
+                pc.is_null(batch["_rj_end"]), cmp(batch[on], batch["_rj_end"])
+            ),
+            False,
+        )
+        valid = pc.and_(matched, in_range)
+        batch = batch.drop_columns(["_rj_m", "_rj_end"])
+        if how == "inner":
+            return batch.filter(valid)
+        for c in right_cols:
+            oc = out_map[c]
+            idx = batch.schema.get_field_index(oc)
+            arr = pc.if_else(
+                valid, batch[oc], pa.scalar(None, type=carried_types[oc])
+            )
+            batch = batch.set_column(idx, oc, arr)
+        return batch
+
+    return j.map_batches(trim, batch_format="pyarrow")

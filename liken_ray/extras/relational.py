@@ -553,3 +553,151 @@ def table_profile(ds, columns: Sequence[str] | None = None):
             ),
         }
     )
+
+
+def group_shift(
+    ds,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    periods: int = 1,
+    out_names: Sequence[str] | None = None,
+):
+    """Per-key LAG/LEAD: for every row, the values of ``value_cols`` from
+    the row ``periods`` positions earlier (``periods > 0``, SQL ``LAG``) or
+    later (``periods < 0``, SQL ``LEAD``) within its ``key_col`` partition,
+    ordered by ``order_cols`` ascending; null where no such row exists.
+    Matches ``LAG(v, p) OVER (PARTITION BY key ORDER BY order_cols)``.
+
+    Plan: ONE range sort by the sentinel-encoded key plus ``order_cols``
+    (descending for LEAD, so the same lag kernel computes both directions)
+    — the only shuffle — then a per-block vectorized shift. A key run can
+    straddle block boundaries, so each block first reports its last
+    ``|periods|`` rows (key ident + shifted payload, O(periods) scalars);
+    the driver chains a rolling O(periods) carry buffer across blocks in
+    sorted order and each block finalizes independently, patching at most
+    its first ``|periods|`` rows from the carry.
+
+    Contract: ``(key_col, *order_cols)`` should be unique (ties make the
+    shifted neighbor partition-dependent, exactly as SQL LAG with a
+    non-deterministic ORDER BY). ``order_cols`` must be non-null (they are
+    range-sort keys; Ray's sort crashes on null boundaries — CLAUDE.md).
+    Null keys form one partition, like SQL PARTITION BY.
+    """
+    if periods == 0:
+        raise ValueError("periods must be nonzero (positive = LAG, negative = LEAD)")
+    order_cols = list(order_cols)
+    value_cols = list(value_cols)
+    if not order_cols or not value_cols:
+        raise ValueError("order_cols and value_cols must be non-empty")
+    p = abs(periods)
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    names = list(schema.names)
+    for c in [key_col, *order_cols, *value_cols]:
+        if c not in names:
+            raise KeyError(f"column {c!r} not in dataset ({names})")
+    if out_names is None:
+        tag = f"_lag{p}" if periods > 0 else f"_lead{p}"
+        out_names = [f"{c}{tag}" for c in value_cols]
+    out_names = list(out_names)
+    if len(out_names) != len(value_cols):
+        raise ValueError("out_names must match value_cols length")
+    clash = sorted(set(out_names) & set(names))
+    if clash:
+        raise ValueError(f"out_names collide with input columns: {clash!r}")
+    key_type = schema.field(key_col).type
+    val_types = {oc: schema.field(c).type for oc, c in zip(out_names, value_cols)}
+
+    def encode(t: pa.Table) -> pa.Table:
+        for c in order_cols:
+            if t[c].null_count:
+                raise ValueError(
+                    f"group_shift: order column {c!r} contains nulls; order "
+                    "columns are range-sort keys and a null position has no "
+                    "defined LAG/LEAD neighbor — drop or fill them first"
+                )
+        key = t[key_col]
+        t = t.append_column("_gs_null", pc.cast(pc.is_null(key), pa.uint8()))
+        return t.append_column("_gs_key", pc.fill_null(key, _zero_scalar(key_type)))
+
+    srt = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .sort(
+            ["_gs_null", "_gs_key", *order_cols],
+            descending=[False, False] + [periods < 0] * len(order_cols),
+        )
+        .materialize()
+    )
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        out_schema = pa.schema(
+            [schema.field(c) for c in names]
+            + [pa.field(oc, val_types[oc]) for oc in out_names]
+        )
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def summarize(block) -> list:
+        """Last min(p, n) rows of the block, in order: (key ident, payload)."""
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        lo = max(0, n - p)
+        return [
+            (
+                _sentinel_ident(t, "_gs_null", "_gs_key", i),
+                {c: t[c][i].as_py() for c in value_cols},
+            )
+            for i in range(lo, n)
+        ]
+
+    tails = ray.get([summarize.remote(r) for r in refs])
+    carry_in: list[list] = []
+    buf: list = []
+    for tail in tails:
+        carry_in.append(list(buf))
+        buf = (buf + tail)[-p:]
+
+    @ray.remote
+    def finalize(block, carry: list):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        change = _sentinel_key_change(t, "_gs_null", "_gs_key")
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        run_start = starts[seg]
+        idx = np.arange(n, dtype=np.int64) - p
+        in_block = idx >= run_start  # implies idx >= 0
+        first_ident = _sentinel_ident(t, "_gs_null", "_gs_key", 0)
+        k = min(p, n)  # rows that may need the carry patch
+        m = len(carry)
+        take_idx = pa.array(np.clip(idx, 0, n - 1), pa.int64())
+        mask = pa.array(in_block)
+        out = t.drop_columns(["_gs_null", "_gs_key"])
+        for vc, oc in zip(value_cols, out_names):
+            col = t[vc]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arr = pc.if_else(mask, col.take(take_idx), pa.scalar(None, type=val_types[oc]))
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # first k rows: idx < 0 — the neighbor (if any) lives in the
+            # carry buffer; valid only for rows of the block's FIRST run,
+            # matched by exact key ident
+            patch = []
+            for i in range(k):
+                val = None
+                j = m + i - p
+                if seg[i] == 0 and 0 <= j < m and carry[j][0] == first_ident:
+                    val = carry[j][1][vc]
+                patch.append(val)
+            if patch:
+                arr = pa.concat_arrays(
+                    [pa.array(patch, type=val_types[oc]), arr.slice(k)]
+                )
+            out = out.append_column(oc, arr)
+        return out
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
+    )

@@ -1013,6 +1013,40 @@ def _line_dedup_documents(sf_dir: str):
     return line_dedup(docs, delim=" ")
 
 
+def _lineitem_agg_by_partkey(sf_dir: str):
+    """General high-cardinality rollup (SQL GROUP BY with COUNT/SUM/MIN/
+    MAX) via group_agg: per-batch partial combine, ONE range sort of the
+    partials, per-block segmented reduceat + O(blocks) stitch — never
+    Ray's Aggregate operator (~2x a sort at high key cardinality).
+    Quantity is cast to int64 up front (whole-valued in the data) so the
+    SUM stays integer-exact; MIN/MAX on doubles are arithmetic-free and
+    hash-stable."""
+    from liken_ray.extras.relational import group_agg
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_int_qty(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("l_quantity"),
+            "l_quantity",
+            batch["l_quantity"].cast(pa.int64()),
+        )
+
+    return group_agg(
+        li.map_batches(to_int_qty, batch_format="pyarrow"),
+        ["l_partkey"],
+        {
+            "cnt": ("count_rows", None),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+    )
+
+
 def _cross_corpus_dedup_documents(sf_dir: str):
     """Cross-corpus exact dedup: drop documents whose text appears in the
     reference slice (doc_id % 5 == 0). m_bits is deliberately small so the
@@ -1079,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_shift_events": _group_shift_events,
         "range_join_click_windows": _range_join_click_windows,
         "line_dedup_documents": _line_dedup_documents,
+        "lineitem_agg_by_partkey": _lineitem_agg_by_partkey,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1662,6 +1697,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL "
             "ELSE COALESCE(a.kept, '') END AS text "
             "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "lineitem_agg_by_partkey": (
+            "SELECT l_partkey, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "MIN(l_extendedprice) AS min_price, "
+            "MAX(l_extendedprice) AS max_price "
+            "FROM lineitem GROUP BY l_partkey"
         ),
         "cross_corpus_dedup_documents": (
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("

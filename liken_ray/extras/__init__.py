@@ -60,6 +60,7 @@ from liken_ray.extras.multimodal import (
     video_frame_sample,
 )
 from liken_ray.extras.relational import (
+    group_agg,
     group_quantiles,
     group_shift,
     group_topk,
@@ -122,6 +123,7 @@ __all__ = [
     "corpus_ngram_counts",
     "line_dedup",
     # relational
+    "group_agg",
     "group_topk",
     "group_shift",
     "quantiles",

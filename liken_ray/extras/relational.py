@@ -701,3 +701,307 @@ def group_shift(
     return ray.data.from_arrow_refs(
         [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
     )
+
+
+def _sorted_multi_reduce(parts, key_cols: list[str], val_specs, psch: pa.Schema):
+    """Generalized sorted segmented reduce: sort ``parts`` by ``key_cols``
+    (all non-null — sentinel pairs), then finalize each key run with a
+    per-column merge op. ``val_specs`` is ``[(col, op)]`` with op in
+    ``{"sum", "min", "max"}``. Interior key runs cannot straddle a block
+    boundary after a global sort, so each block resolves its inner runs
+    locally (``num_returns=2`` — interior runs stay in the object store)
+    and only the first/last run of each block (O(blocks) rows total) is
+    driver-merged with the same ops. ``psch`` is the partials schema,
+    passed EXPLICITLY — ``parts.schema()`` would execute the upstream
+    pipeline once just to infer it.
+
+    This is ``extras/windows._sorted_multi_sum`` generalized to non-sum
+    merges (windows delegates here); the repo's answer to Ray's
+    ``groupby().aggregate()`` costing ~2x a sort at high key cardinality.
+    """
+    import ray.data
+
+    val_cols = [c for c, _ in val_specs]
+    ops = dict(val_specs)
+    _np_red = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+    out_schema = pa.schema([psch.field(c) for c in key_cols + val_cols])
+    srt = parts.sort(key_cols).materialize()
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _chunkless(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    @ray.remote(num_returns=2)
+    def seg(block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = None
+            for kc in key_cols:
+                col = _chunkless(t[kc])
+                d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                neq = d if neq is None else pc.or_(neq, d)
+            change[1:] = neq.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(change)
+        take = pa.array(starts, pa.int64())
+        cols = {kc: _chunkless(t[kc]).take(take) for kc in key_cols}
+        for vc in val_cols:
+            # partials are non-null by construction (builders fill nulls
+            # with the op's identity plus a companion valid-count), so the
+            # numpy conversion is exact even for int64 above 2^53;
+            # reduceat also avoids the prefix-sum cancellation error a
+            # cumsum-diff has on float sums
+            v = _chunkless(t[vc]).to_numpy(zero_copy_only=False)
+            red = _np_red[ops[vc]].reduceat(v, starts)
+            cols[vc] = pa.array(red, type=psch.field(vc).type)
+        red_t = pa.table(cols)
+        m = red_t.num_rows
+        edge_idx = [0] if m == 1 else [0, m - 1]
+        inner = red_t.slice(1, max(0, m - 2))
+        return inner, red_t.take(pa.array(edge_idx, pa.int64()))
+
+    outs = [seg.remote(r) for r in refs]
+    inner_refs = [o[0] for o in outs]
+    edge_tables = ray.get([o[1] for o in outs])
+
+    _py_red = {"sum": lambda a, b: a + b, "min": min, "max": max}
+    merged: dict[tuple, dict] = {}
+    order: list[tuple] = []
+    for et in edge_tables:
+        for r in et.to_pylist():
+            k = tuple(r[kc] for kc in key_cols)
+            if k in merged:
+                for vc in val_cols:
+                    merged[k][vc] = _py_red[ops[vc]](merged[k][vc], r[vc])
+            else:
+                merged[k] = r
+                order.append(k)
+    stitched = pa.table(
+        {
+            c: pa.array([merged[k][c] for k in order], psch.field(c).type)
+            for c in key_cols + val_cols
+        }
+    )
+    return ray.data.from_arrow_refs(inner_refs + [ray.put(stitched)])
+
+
+# ops supported by group_agg and the partial/merge machinery behind each
+_GA_OPS = ("count", "count_rows", "sum", "min", "max", "mean")
+
+
+def group_agg(ds, key_cols: Sequence[str], aggs: dict[str, tuple[str, Any]]):
+    """General per-key aggregation at HIGH key cardinality: one row per
+    distinct ``key_cols`` combination (null keys group together, like SQL
+    ``GROUP BY``), with aggregate columns named by ``aggs``'s keys.
+
+    ``aggs`` maps ``out_name -> (op, col)`` with op one of:
+
+    - ``"count_rows"`` — COUNT(*); ``col`` is ignored (pass ``None``)
+    - ``"count"``      — COUNT(col), non-null rows only
+    - ``"sum"``        — SUM(col); NULL for an all-null group (SQL);
+      int64 for integer/boolean inputs, float64 for floats
+    - ``"min"`` / ``"max"`` — numeric or temporal ``col``; NULL for an
+      all-null group; output keeps the input type
+    - ``"mean"``       — AVG(col) as float64; NULL for an all-null group
+
+    Plan (the repo's Aggregate-free idiom — Ray's ``groupby().aggregate``
+    measured ~2x a sort at high key cardinality): each input batch
+    PARTIAL-COMBINES locally with one vectorized ``pyarrow.Table.group_by``
+    (so only (batches x keys-per-batch) partial rows enter the shuffle),
+    the partials take ONE range sort by the sentinel-encoded keys (Ray's
+    range sort crashes on null boundaries), and a per-block segmented
+    ``reduceat`` with an O(blocks) first/last-run driver stitch finalizes.
+    Nulls never reach the numpy reduce: every partial is null-filled with
+    the op's identity plus a companion valid-count, and the finalize
+    restores SQL null semantics from the count — which also keeps
+    null-bearing int64 columns off the float64 ``to_numpy`` trap.
+
+    Float caveat: ``sum``/``mean`` over floats depend on summation order
+    like any parallel float sum; NaN propagates through ``min``/``max``
+    (IEEE semantics via numpy) whereas SQL engines usually sort NaN last.
+    Reference: no aggregation surface in /root/reference — this is the
+    SURVEY §2 relational family's general rollup.
+    """
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    ds = _to_arrow_blocks(ds)
+    schema = _schema(ds)
+    names = list(schema.names)
+    for c in key_cols:
+        if c not in names:
+            raise KeyError(f"key column {c!r} not in dataset ({names})")
+    clash = sorted(set(aggs) & set(key_cols))
+    if clash:
+        raise ValueError(f"agg output names collide with key columns: {clash!r}")
+    for out, (op, col) in aggs.items():
+        if op not in _GA_OPS:
+            raise ValueError(f"unknown op {op!r} for {out!r}; one of {_GA_OPS}")
+        if op != "count_rows":
+            if col not in names:
+                raise KeyError(f"agg column {col!r} not in dataset ({names})")
+            ftype = schema.field(col).type
+            if op in ("sum", "mean", "min", "max") and not (
+                pa.types.is_integer(ftype)
+                or pa.types.is_floating(ftype)
+                or pa.types.is_boolean(ftype)
+                or (op in ("min", "max") and pa.types.is_temporal(ftype))
+            ):
+                raise TypeError(
+                    f"{out!r}: op {op!r} needs a numeric"
+                    f"{'/temporal' if op in ('min', 'max') else ''} column, "
+                    f"got {col!r}: {ftype}"
+                )
+
+    # --- plan the partial columns -----------------------------------------
+    # each agg contributes 1-2 partial columns: (name, merge_op, arrow type)
+    skey_cols: list[str] = []
+    key_fields: list[pa.Field] = []
+    for i, kc in enumerate(key_cols):
+        skey_cols += [f"_ga{i}n", f"_ga{i}f"]
+        key_fields += [
+            pa.field(f"_ga{i}n", pa.uint8()),
+            pa.field(f"_ga{i}f", schema.field(kc).type),
+        ]
+
+    def _acc_type(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_floating(t):
+            return pa.float64()
+        return pa.int64()
+
+    part_specs: list[tuple[str, str]] = []  # (partial col, merge op)
+    part_fields: list[pa.Field] = []
+    plans: list[tuple] = []  # (out, op, col, partial names..., out type)
+    for out, (op, col) in aggs.items():
+        if op == "count_rows":
+            part_specs.append((out, "sum"))
+            part_fields.append(pa.field(out, pa.int64()))
+            plans.append((out, op, None, (out,), pa.int64()))
+        elif op == "count":
+            part_specs.append((out, "sum"))
+            part_fields.append(pa.field(out, pa.int64()))
+            plans.append((out, op, col, (out,), pa.int64()))
+        elif op == "sum":
+            at = _acc_type(schema.field(col).type)
+            nn = f"{out}__nn"
+            part_specs += [(out, "sum"), (nn, "sum")]
+            part_fields += [pa.field(out, at), pa.field(nn, pa.int64())]
+            plans.append((out, op, col, (out, nn), at))
+        elif op == "mean":
+            s, nn = f"{out}__s", f"{out}__nn"
+            part_specs += [(s, "sum"), (nn, "sum")]
+            part_fields += [pa.field(s, pa.float64()), pa.field(nn, pa.int64())]
+            plans.append((out, op, col, (s, nn), pa.float64()))
+        else:  # min / max
+            ftype = schema.field(col).type
+            acc = (
+                pa.float64()
+                if pa.types.is_floating(ftype)
+                else (pa.int32() if getattr(ftype, "bit_width", 64) == 32 else pa.int64())
+            )
+            nn = f"{out}__nn"
+            part_specs += [(out, op), (nn, "sum")]
+            part_fields += [pa.field(out, acc), pa.field(nn, pa.int64())]
+            plans.append((out, op, col, (out, nn), ftype))
+    pnames = [c for c, _ in part_specs]
+    bad = sorted(set(pnames) & set(skey_cols))
+    if bad:
+        raise ValueError(f"reserved column collision: {bad!r}")
+    psch = pa.schema(key_fields + part_fields)
+
+    def _identity_scalar(acc: pa.DataType, op: str):
+        if pa.types.is_floating(acc):
+            return pa.scalar(float("inf") if op == "min" else float("-inf"), acc)
+        info = np.iinfo(np.int32 if acc == pa.int32() else np.int64)
+        return pa.scalar(info.max if op == "min" else info.min, acc)
+
+    from liken_ray.extras.windows import _sentinel_pair
+
+    def build(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for i, kc in enumerate(key_cols):
+            cols.update(_sentinel_pair(batch[kc], f"_ga{i}"))
+        local_aggs: list[tuple[str, str]] = []
+        for out, op, col, parts_of, _ in plans:
+            if op == "count_rows":
+                cols[out] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+                local_aggs.append((out, "sum"))
+                continue
+            v = batch[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if op == "count":
+                cols[out] = pc.cast(pc.is_valid(v), pa.int64())
+                local_aggs.append((out, "sum"))
+                continue
+            nn = parts_of[-1]
+            cols[nn] = pc.cast(pc.is_valid(v), pa.int64())
+            local_aggs.append((nn, "sum"))
+            if op == "sum":
+                at = psch.field(out).type
+                cols[out] = pc.fill_null(v, _zero_scalar(at)).cast(at)
+                local_aggs.append((out, "sum"))
+            elif op == "mean":
+                s = parts_of[0]
+                cols[s] = pc.fill_null(v, pa.scalar(0.0, pa.float64())).cast(
+                    pa.float64()
+                )
+                local_aggs.append((s, "sum"))
+            else:
+                acc = psch.field(out).type
+                if pa.types.is_temporal(v.type):
+                    v = v.cast(acc)
+                cols[out] = pc.fill_null(v.cast(acc), _identity_scalar(acc, op))
+                local_aggs.append((out, op))
+        t = pa.table(cols)
+        g = t.group_by(skey_cols).aggregate(local_aggs)
+        ren = {f"{c}_{op}": c for c, op in local_aggs}
+        g = g.rename_columns([ren.get(c, c) for c in g.schema.names])
+        return g.select(skey_cols + pnames)
+
+    parts = ds.map_batches(build, batch_format="pyarrow")
+    red = _sorted_multi_reduce(parts, skey_cols, part_specs, psch)
+
+    key_types = {kc: schema.field(kc).type for kc in key_cols}
+    out_fields = [pa.field(kc, key_types[kc]) for kc in key_cols] + [
+        pa.field(out, out_type) for out, _op, _c, _p, out_type in plans
+    ]
+    # union a typed zero-row table so the output schema is defined even on
+    # empty input (map_batches never runs finalize over zero blocks and
+    # would leave schema() None) — costs nothing on the non-empty path
+    typed_empty = ray.data.from_arrow(pa.schema(out_fields).empty_table())
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for i, kc in enumerate(key_cols):
+            cols[kc] = pc.if_else(
+                pc.cast(t[f"_ga{i}n"], pa.bool_()),
+                pa.scalar(None, type=key_types[kc]),
+                t[f"_ga{i}f"],
+            )
+        for out, op, _col, parts_of, out_type in plans:
+            if op in ("count", "count_rows"):
+                cols[out] = t[out]
+                continue
+            nn = parts_of[-1]
+            has = pc.greater(t[nn], 0)
+            if op == "mean":
+                s = t[parts_of[0]]
+                cols[out] = pc.if_else(
+                    has,
+                    pc.divide(s, pc.cast(t[nn], pa.float64())),
+                    pa.scalar(None, pa.float64()),
+                )
+            else:
+                v = t[out]
+                if v.type != out_type:
+                    v = v.cast(out_type)
+                cols[out] = pc.if_else(has, v, pa.scalar(None, type=out_type))
+        return pa.table(cols)
+
+    return red.map_batches(finalize, batch_format="pyarrow").union(typed_empty)

@@ -39,84 +39,15 @@ def _sentinel_pair(arr, prefix: str) -> dict[str, pa.Array]:
 
 def _sorted_multi_sum(parts, key_cols: list[str], val_cols: list[str], psch: pa.Schema):
     """Sort ``parts`` by ``key_cols`` (all non-null — sentinel pairs), then
-    finalize per-key SUMs of ``val_cols``: interior key runs cannot
-    straddle a block boundary after a global sort, so each block resolves
-    its inner runs locally and only its first/last run (O(blocks) rows
-    total) is driver-merged. Returns a Dataset of (key_cols + val_cols).
-    ``psch`` is the partials schema, passed EXPLICITLY — ``parts.schema()``
-    would execute the whole upstream pipeline once just to infer it.
+    finalize per-key SUMs of ``val_cols`` — the all-sum case of the shared
+    ``relational._sorted_multi_reduce`` (one remote ``num_returns=2`` task
+    per sorted block; interior runs stay in the object store, ≤2 edge rows
+    per block stitch on the driver)."""
+    from liken_ray.extras.relational import _sorted_multi_reduce
 
-    After the sort, each block is reduced by ONE remote task with
-    ``num_returns=2``: the interior (final) runs stay in the object store
-    as a table ref and feed straight into ``from_arrow_refs``; only the
-    first/last run of each block (≤2 rows) is ray.get to the driver for
-    the O(blocks) stitch — no extra Dataset executions after the sort
-    (three separate map/take passes here measured ~2x wall on the sf0.1
-    window queries)."""
-    import ray
-    import ray.data
-    from ray.data.block import BlockAccessor
-
-    out_schema = pa.schema([psch.field(c) for c in key_cols + val_cols])
-    srt = parts.sort(key_cols).materialize()
-    refs = [
-        ref
-        for bundle in srt.iter_internal_ref_bundles()
-        for ref, meta in zip(bundle.block_refs, bundle.metadata)
-        if meta.num_rows  # Ray's sort emits an empty-SCHEMA block on empty input
-    ]
-    if not refs:
-        return ray.data.from_arrow(out_schema.empty_table())
-
-    @ray.remote(num_returns=2)
-    def seg(block):
-        t = BlockAccessor.for_block(block).to_arrow()
-        n = t.num_rows
-        change = np.ones(n, dtype=bool)
-        if n > 1:
-            neq = None
-            for kc in key_cols:
-                col = _chunkless(t[kc])
-                d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-                neq = d if neq is None else pc.or_(neq, d)
-            change[1:] = neq.to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(change)
-        take = pa.array(starts, pa.int64())
-        cols = {kc: _chunkless(t[kc]).take(take) for kc in key_cols}
-        for vc in val_cols:
-            # partials are non-null by construction (nulls were zero-filled
-            # with a companion non-null count); reduceat avoids the
-            # prefix-sum cancellation error a cumsum-diff has on floats
-            v = _chunkless(t[vc]).to_numpy(zero_copy_only=False)
-            cols[vc] = pa.array(np.add.reduceat(v, starts), type=psch.field(vc).type)
-        red = pa.table(cols)
-        m = red.num_rows
-        edge_idx = [0] if m == 1 else [0, m - 1]
-        inner = red.slice(1, max(0, m - 2))
-        return inner, red.take(pa.array(edge_idx, pa.int64()))
-
-    outs = [seg.remote(r) for r in refs]
-    inner_refs = [o[0] for o in outs]
-    edge_tables = ray.get([o[1] for o in outs])
-
-    merged: dict[tuple, dict] = {}
-    order: list[tuple] = []
-    for et in edge_tables:
-        for r in et.to_pylist():
-            k = tuple(r[kc] for kc in key_cols)
-            if k in merged:
-                for vc in val_cols:
-                    merged[k][vc] += r[vc]
-            else:
-                merged[k] = r
-                order.append(k)
-    stitched = pa.table(
-        {
-            c: pa.array([merged[k][c] for k in order], psch.field(c).type)
-            for c in key_cols + val_cols
-        }
+    return _sorted_multi_reduce(
+        parts, key_cols, [(c, "sum") for c in val_cols], psch
     )
-    return ray.data.from_arrow_refs(inner_refs + [ray.put(stitched)])
 
 
 def _chunkless(col):

@@ -313,3 +313,124 @@ def test_line_dedup_validates_and_empty(ray_session):
     out = line_dedup(empty, delim=" ")
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# group_agg
+# ---------------------------------------------------------------------------
+
+
+def test_group_agg_matches_pandas_all_ops(ray_session):
+    from liken_ray.extras.relational import group_agg
+
+    rng = np.random.default_rng(54)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 400, n),
+            "k2": rng.choice(["a", "b", None], n),
+            "v": rng.integers(0, 100, n).astype(float),
+        }
+    )
+    df.loc[rng.choice(n, 300, replace=False), "v"] = np.nan
+    ds = ray.data.from_pandas(df).repartition(11)
+    got = group_agg(
+        ds,
+        ["k", "k2"],
+        {
+            "cnt": ("count_rows", None),
+            "nv": ("count", "v"),
+            "sv": ("sum", "v"),
+            "mn": ("min", "v"),
+            "mx": ("max", "v"),
+            "avg": ("mean", "v"),
+        },
+    ).to_pandas()
+    want = (
+        df.groupby(["k", "k2"], dropna=False)
+        .agg(
+            cnt=("v", "size"), nv=("v", "count"), sv=("v", "sum"),
+            mn=("v", "min"), mx=("v", "max"), avg=("v", "mean"),
+        )
+        .reset_index()
+    )
+    want.loc[want["nv"] == 0, "sv"] = np.nan  # SQL: SUM of all-null = NULL
+    cols = ["k", "k2", "cnt", "nv", "sv", "mn", "mx", "avg"]
+    g = got[cols].sort_values(["k", "k2"]).reset_index(drop=True)
+    w = want[cols].sort_values(["k", "k2"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in cols:
+        a, b = g[c].values, w[c].values
+        both_na = pd.isna(a) & pd.isna(b)
+        close = np.isclose(
+            pd.to_numeric(g[c], errors="coerce").values,
+            pd.to_numeric(w[c], errors="coerce").values,
+            equal_nan=False,
+        )
+        assert (both_na | close | (a == b)).all(), c
+
+
+def test_group_agg_hot_key_spans_blocks_and_big_ints(ray_session):
+    from liken_ray.extras.relational import group_agg
+
+    # one dominant key across 16 tiny blocks; int values above 2^53 to
+    # catch any float64 round-trip in the partial/stitch path
+    base = np.int64(2**61)
+    n = 4000
+    k = np.zeros(n, dtype=np.int64)
+    k[::97] = 1
+    v = base + np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(k), "v": pa.array(v)})
+    ).repartition(16)
+    got = {
+        r["k"]: (r["mn"], r["mx"], r["cnt"])
+        for r in group_agg(
+            ds, ["k"], {"mn": ("min", "v"), "mx": ("max", "v"), "cnt": ("count_rows", None)}
+        ).take_all()
+    }
+    for key in (0, 1):
+        sel = v[k == key]
+        assert got[key] == (int(sel.min()), int(sel.max()), len(sel)), key
+
+
+def test_group_agg_temporal_min_max_and_string_key(ray_session):
+    from liken_ray.extras.relational import group_agg
+
+    ts = pd.to_datetime(
+        ["2020-01-01", "2021-06-01", "1960-03-01", "2020-05-05", None]
+    )
+    df = pd.DataFrame({"k": ["x", "x", "y", "y", "y"], "t": ts})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = {
+        r["k"]: (r["first_t"], r["last_t"], r["nt"])
+        for r in group_agg(
+            ds, ["k"], {"first_t": ("min", "t"), "last_t": ("max", "t"), "nt": ("count", "t")}
+        ).take_all()
+    }
+    assert got["x"] == (pd.Timestamp("2020-01-01"), pd.Timestamp("2021-06-01"), 2)
+    assert got["y"] == (pd.Timestamp("1960-03-01"), pd.Timestamp("2020-05-05"), 2)
+
+
+def test_group_agg_validates_and_empty(ray_session):
+    from liken_ray.extras.relational import group_agg
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1.0], "s": ["x"]}))
+    with pytest.raises(ValueError, match="key_cols"):
+        group_agg(ds, [], {"c": ("count_rows", None)})
+    with pytest.raises(ValueError, match="aggs"):
+        group_agg(ds, ["k"], {})
+    with pytest.raises(ValueError, match="unknown op"):
+        group_agg(ds, ["k"], {"c": ("median", "v")})
+    with pytest.raises(KeyError):
+        group_agg(ds, ["k"], {"c": ("sum", "missing")})
+    with pytest.raises(TypeError, match="numeric"):
+        group_agg(ds, ["k"], {"c": ("sum", "s")})
+    with pytest.raises(ValueError, match="collide"):
+        group_agg(ds, ["k"], {"k": ("count_rows", None)})
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+    )
+    out = group_agg(empty, ["k"], {"s": ("sum", "v"), "c": ("count_rows", None)})
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "s", "c"}

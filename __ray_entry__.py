@@ -944,6 +944,49 @@ def _merge_join_lineitem_orders(sf_dir: str):
     )
 
 
+def _open_orders_keys(sf_dir: str):
+    """Order keys with o_orderstatus = 'O' — the membership side shared by
+    the semi/anti join queries."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def open_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+        return t.select(["o_orderkey"])
+
+    return orders.map_batches(open_orders, batch_format="pyarrow")
+
+
+def _semi_join_lineitem_orders(sf_dir: str):
+    """Fact x fact EXISTS filter: lineitem rows whose order is open. The
+    existence path of merge_join — no right payload rides the shuffle,
+    duplicate membership keys collapse per-batch before the sort."""
+    from liken_ray.extras.joins import merge_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return merge_join(
+        li, _open_orders_keys(sf_dir), on="l_orderkey", right_on="o_orderkey",
+        how="semi",
+    )
+
+
+def _anti_join_lineitem_orders(sf_dir: str):
+    """Fact x fact NOT EXISTS filter: lineitem rows with no open order —
+    the decontamination shape at large-membership scale (Bloom/broadcast
+    paths in extras/curation assume the membership side fits in one
+    object)."""
+    from liken_ray.extras.joins import merge_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return merge_join(
+        li, _open_orders_keys(sf_dir), on="l_orderkey", right_on="o_orderkey",
+        how="anti",
+    )
+
+
 def _group_shift_events(sf_dir: str):
     """Per-user LAG(value): each event's previous value in (ts, event_id)
     order — ONE range sort + per-block shift with an O(periods) rolling
@@ -1110,6 +1153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _semdedup_embeddings,
         "asof_join_events": _asof_join_events,
         "merge_join_lineitem_orders": _merge_join_lineitem_orders,
+        "semi_join_lineitem_orders": _semi_join_lineitem_orders,
+        "anti_join_lineitem_orders": _anti_join_lineitem_orders,
         "group_shift_events": _group_shift_events,
         "range_join_click_windows": _range_join_click_windows,
         "line_dedup_documents": _line_dedup_documents,
@@ -1669,6 +1714,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem LEFT JOIN (SELECT o_orderkey, o_custkey "
             "FROM orders WHERE o_orderstatus = 'O') o "
             "ON l_orderkey = o_orderkey"
+        ),
+        "semi_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O')"
+        ),
+        "anti_join_lineitem_orders": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O')"
         ),
         "group_shift_events": (
             "SELECT event_id, ts, user_id, event_type, value, "

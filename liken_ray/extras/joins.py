@@ -417,14 +417,14 @@ def merge_join(
     scalars plus ONE carried right row per block boundary, so a hot key
     whose run spans many blocks stays bounded per task.
 
-    Contract (same as ``broadcast_join``): the right key must be UNIQUE —
-    enforced distributively, in-block via a segmented right-row count and
-    across block boundaries via the carry chain (a right row for a run
-    that already carried one is a duplicate). Many-to-many joins must
-    pre-aggregate one side first (the per-key cross product is unbounded
-    under skew by definition). Null keys never match (SQL equality):
-    null-key right rows are dropped at tag time; null-key left rows are
-    dropped for ``how="inner"`` and pass through null-filled for
+    Contract for ``how="inner"``/``"left"``: the right key must be
+    UNIQUE — enforced distributively, in-block via a segmented right-row
+    count and across block boundaries via the carry chain (a right row
+    for a run that already carried one is a duplicate). Many-to-many
+    joins must pre-aggregate one side first (the per-key cross product is
+    unbounded under skew by definition). Null keys never match (SQL
+    equality): null-key right rows are dropped at tag time; null-key left
+    rows are dropped for ``how="inner"`` and pass through null-filled for
     ``how="left"``. Float NaN keys DO match each other — pandas ``merge``
     and DuckDB both treat NaN = NaN as true in equi-joins, so silently
     dropping them would diverge from the oracle. Both ride the sort
@@ -433,11 +433,29 @@ def merge_join(
     Ray's range sort crashes on null sort keys and NaN boundaries /
     NaN != NaN comparisons would otherwise split runs (CLAUDE.md).
 
+    ``how="semi"`` / ``how="anti"`` are EXISTS / NOT EXISTS filters: the
+    output is exactly the left columns for left rows whose key does
+    (semi) / does not (anti) appear on the right. No right payload rides
+    the shuffle (the right side contributes key columns only), duplicate
+    right keys are fine (existence is idempotent — the uniqueness check
+    is skipped), and null-key left rows follow SQL EXISTS semantics:
+    dropped for semi (a null key matches nothing), KEPT for anti (NOT
+    EXISTS of an empty match set is true). This is the scale path for
+    fact x fact decontamination-style filters where the membership side
+    is too big for the Bloom/broadcast ops in ``extras/curation``.
+
     No analogue in the reference repo (/root/reference) — part of the
     SURVEY.md §2.7 "custom operators Ray Data lacks" surface.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+        )
+    existence = how in ("semi", "anti")
+    if existence:
+        if right_cols:
+            raise ValueError(f"right_cols make no sense for how={how!r}")
+        right_cols = []
     right_on = right_on or on
     left = _to_arrow_blocks(left)
     right = _to_arrow_blocks(right)
@@ -485,7 +503,7 @@ def merge_join(
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = batch[on]
-        if how == "inner" and key.null_count:
+        if how in ("inner", "semi") and key.null_count:
             # null keys can never match — prune BEFORE the shuffle
             batch = batch.filter(pc.is_valid(key))
             key = batch[on]
@@ -507,8 +525,15 @@ def merge_join(
         if key.null_count:
             batch = batch.filter(pc.is_valid(key))
             key = batch[right_on]
-        n = batch.num_rows
         variant, filled = _variant_and_filled(key.cast(key_type))
+        if existence:
+            # existence is idempotent — collapse duplicate keys locally
+            # BEFORE the shuffle (a membership list is often key-heavy)
+            pairs = pa.table({"_mj_knull": variant, "_mj_key": filled})
+            pairs = pairs.group_by(["_mj_knull", "_mj_key"]).aggregate([])
+            variant = pairs["_mj_knull"].combine_chunks()
+            filled = pairs["_mj_key"].combine_chunks()
+        n = len(variant)
         cols: dict[str, Any] = {
             "_mj_knull": variant,
             "_mj_key": filled,
@@ -560,7 +585,7 @@ def merge_join(
         if same_start and s["first"] == s["last"]:
             # block lies entirely inside the current run
             if s["tail"] is not None:
-                if cur_payload is not None:
+                if cur_payload is not None and not existence:
                     badk = float("nan") if s["first"][0] == 1 else s["first"][1]
                     raise ValueError(
                         f"merge_join: right key {right_on!r} is not unique "
@@ -582,7 +607,7 @@ def merge_join(
         counts = np.add.reduceat(is_right.astype(np.int64), starts)
         if carry is not None:
             counts[0] += 1
-        if (counts > 1).any():
+        if not existence and (counts > 1).any():
             bad = int(starts[np.argmax(counts > 1)])
             badk = (
                 float("nan")
@@ -601,8 +626,9 @@ def merge_join(
             if carry is not None
             else np.zeros(len(sel_left), dtype=bool)
         )
-        if how == "inner":
-            keep = hit_in | from_carry
+        if how != "left":
+            matched = hit_in | from_carry
+            keep = ~matched if how == "anti" else matched
             sel_left = sel_left[keep]
             hit_in = hit_in[keep]
             from_carry = from_carry[keep]

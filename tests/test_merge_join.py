@@ -235,3 +235,83 @@ def test_merge_join_empty_sides(ray_session):
         how="left",
     ).to_pandas()
     assert len(out2) == 1 and pd.isna(out2["lv"][0])
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_merge_join_semi_anti_matches_pandas(ray_session, how):
+    """semi/anti = EXISTS / NOT EXISTS: duplicate right keys are fine,
+    null-key left rows drop for semi and survive for anti."""
+    import ray
+
+    rng = np.random.RandomState(11)
+    n_left, n_right = 4000, 2500
+    lkey = rng.randint(0, 600, n_left).astype(np.int64)
+    lkey_null = rng.rand(n_left) < 0.05
+    left = pd.DataFrame(
+        {
+            "k": pd.array(np.where(lkey_null, 0, lkey), dtype="Int64"),
+            "lval": rng.randint(0, 10**6, n_left).astype(np.int64),
+        }
+    )
+    left.loc[lkey_null, "k"] = pd.NA
+    # heavily duplicated membership list (~300 distinct keys, many repeats)
+    right = pd.DataFrame(
+        {"rk": rng.randint(0, 300, n_right).astype(np.int64)}
+    )
+    lds = ray.data.from_pandas(left).repartition(11)
+    rds = ray.data.from_pandas(right).repartition(7)
+    got = merge_join(lds, rds, on="k", right_on="rk", how=how).to_pandas()
+    member = set(right["rk"].tolist())
+    in_set = left["k"].map(lambda v: v in member if pd.notna(v) else False)
+    want = left[in_set] if how == "semi" else left[~in_set]
+    _assert_frames_equal(got, want.reset_index(drop=True))
+    if how == "anti":
+        # null-key left rows must survive NOT EXISTS
+        assert got["k"].isna().sum() == int(lkey_null.sum())
+
+
+def test_merge_join_semi_hot_key_spans_blocks(ray_session):
+    """A membership key repeated enough to span many sorted blocks on the
+    RIGHT side (legal for semi/anti) still yields each left row once."""
+    import ray
+
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64) % 5})
+    right = pd.DataFrame(
+        {"rk": np.full(50_000, 3, dtype=np.int64)}
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(16)
+    semi = merge_join(lds, rds, on="k", right_on="rk", how="semi").to_pandas()
+    anti = merge_join(lds, rds, on="k", right_on="rk", how="anti").to_pandas()
+    assert len(semi) == 20 and (semi["k"] == 3).all()
+    assert len(anti) == 80 and (anti["k"] != 3).all()
+
+
+def test_merge_join_semi_anti_reject_right_cols(ray_session):
+    import ray
+
+    lds = ray.data.from_pandas(pd.DataFrame({"k": [1]}))
+    rds = ray.data.from_pandas(pd.DataFrame({"rk": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="right_cols"):
+        merge_join(lds, rds, on="k", right_on="rk", right_cols=["v"], how="semi")
+
+
+def test_merge_join_semi_anti_large_int64_exact(ray_session):
+    """Keys above 2^53 stay exact through the existence path."""
+    import ray
+
+    big = 2**63 - 7
+    left = pd.DataFrame({"k": pd.array([big, big - 1, None, 5], dtype="Int64")})
+    right = pd.DataFrame({"rk": pd.array([big, 5, 5], dtype="Int64")})
+    lds = ray.data.from_pandas(left).repartition(2)
+    rds = ray.data.from_pandas(right).repartition(2)
+    # compare arrow-side: pandas would route null-bearing int64 through
+    # float64 (the documented >2^53 garble) in the TEST itself
+    def _arrow(ds):
+        return pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+
+    semi = _arrow(merge_join(lds, rds, on="k", right_on="rk", how="semi"))
+    anti = _arrow(merge_join(lds, rds, on="k", right_on="rk", how="anti"))
+    assert sorted(semi["k"].drop_null().to_pylist()) == [5, big]
+    got_anti = anti["k"].to_pylist()
+    assert len(got_anti) == 2 and big - 1 in got_anti and None in got_anti

@@ -1090,6 +1090,17 @@ def _lineitem_agg_by_partkey(sf_dir: str):
     )
 
 
+def _suppliers_per_part(sf_dir: str):
+    """Exact per-key COUNT(DISTINCT): distinct suppliers per part over
+    lineitem (2000 keys at sf0.01). Local pair-distinct per batch, ONE
+    range sort of the pairs, per-block segmented count with the O(blocks)
+    boundary-pair dedupe — never Ray's Aggregate."""
+    from liken_ray.extras.relational import group_nunique
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return group_nunique(li, ["l_partkey"], "l_suppkey", out_name="n_supp")
+
+
 def _cross_corpus_dedup_documents(sf_dir: str):
     """Cross-corpus exact dedup: drop documents whose text appears in the
     reference slice (doc_id % 5 == 0). m_bits is deliberately small so the
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_click_windows": _range_join_click_windows,
         "line_dedup_documents": _line_dedup_documents,
         "lineitem_agg_by_partkey": _lineitem_agg_by_partkey,
+        "suppliers_per_part": _suppliers_per_part,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1759,6 +1771,10 @@ def oracle_sql() -> dict[str, str]:
             "MIN(l_extendedprice) AS min_price, "
             "MAX(l_extendedprice) AS max_price "
             "FROM lineitem GROUP BY l_partkey"
+        ),
+        "suppliers_per_part": (
+            "SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) "
+            "AS n_supp FROM lineitem GROUP BY l_partkey"
         ),
         "cross_corpus_dedup_documents": (
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("

@@ -73,6 +73,42 @@ def _sentinel_ident(t: pa.Table, null_col: str, key_col: str, i: int) -> tuple:
     return (int(t[null_col][i].as_py()), t[key_col][i].as_py())
 
 
+def _unified_schema(ds) -> tuple[pa.Schema, Any]:
+    """Dataset schema with null-typed fields resolved. Ray infers the
+    schema from one sampled block, so a column whose SAMPLED block is
+    entirely null comes back as arrow ``null`` even when other blocks hold
+    real values. In that degenerate case (never hit on parquet reads —
+    file metadata carries true types) materialize and unify the per-block
+    schemas remotely (only schemas travel to the driver). Returns
+    ``(schema, ds)`` where ds is the materialized dataset when the
+    fallback ran, so callers don't re-execute the pipeline."""
+    from liken_ray.extras.joins import _schema
+
+    sch = _schema(ds)
+    if isinstance(sch, pa.Schema) and any(pa.types.is_null(f.type) for f in sch):
+        mat = ds.materialize()
+
+        @ray.remote
+        def _sch(block) -> pa.Schema:
+            return BlockAccessor.for_block(block).to_arrow().schema
+
+        refs = _nonempty_block_refs(mat)
+        schemas = ray.get([_sch.remote(r) for r in refs])
+        if schemas:
+            sch = pa.unify_schemas(schemas, promote_options="permissive")
+        return sch, mat
+    return sch, ds
+
+
+def _typed(col, want: pa.DataType):
+    """Restore a column's dataset-schema type: Ray's repartition/union
+    builders degrade an all-null block slice to arrow ``null`` type, which
+    breaks typed fills and sentinel encoding downstream."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(want) if col.type != want else col
+
+
 def _nonempty_block_refs(srt):
     """Sorted-order non-empty block refs (Ray's sort emits one EMPTY-schema
     block for empty input — skip zero-row blocks per CLAUDE.md)."""
@@ -831,7 +867,7 @@ def group_agg(ds, key_cols: Sequence[str], aggs: dict[str, tuple[str, Any]]):
     if not aggs:
         raise ValueError("aggs must be non-empty")
     ds = _to_arrow_blocks(ds)
-    schema = _schema(ds)
+    schema, ds = _unified_schema(ds)
     names = list(schema.names)
     for c in key_cols:
         if c not in names:
@@ -925,16 +961,16 @@ def group_agg(ds, key_cols: Sequence[str], aggs: dict[str, tuple[str, Any]]):
     def build(batch: pa.Table) -> pa.Table:
         cols: dict[str, Any] = {}
         for i, kc in enumerate(key_cols):
-            cols.update(_sentinel_pair(batch[kc], f"_ga{i}"))
+            cols.update(
+                _sentinel_pair(_typed(batch[kc], schema.field(kc).type), f"_ga{i}")
+            )
         local_aggs: list[tuple[str, str]] = []
         for out, op, col, parts_of, _ in plans:
             if op == "count_rows":
                 cols[out] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
                 local_aggs.append((out, "sum"))
                 continue
-            v = batch[col]
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
+            v = _typed(batch[col], schema.field(col).type)
             if op == "count":
                 cols[out] = pc.cast(pc.is_valid(v), pa.int64())
                 local_aggs.append((out, "sum"))
@@ -1002,6 +1038,186 @@ def group_agg(ds, key_cols: Sequence[str], aggs: dict[str, tuple[str, Any]]):
                 if v.type != out_type:
                     v = v.cast(out_type)
                 cols[out] = pc.if_else(has, v, pa.scalar(None, type=out_type))
+        return pa.table(cols)
+
+    return red.map_batches(finalize, batch_format="pyarrow").union(typed_empty)
+
+
+def group_nunique(ds, key_cols: Sequence[str], val_col: str, out_name: str = "nunique"):
+    """COUNT(DISTINCT ``val_col``) per ``key_cols`` combination — exact, at
+    HIGH key cardinality, without Ray's Aggregate operator.
+
+    Plan: each batch locally DISTINCTs its (key, val) pairs with one
+    vectorized ``pyarrow.Table.group_by`` (so only the batch's distinct
+    pairs enter the shuffle), the pairs take ONE range sort by the
+    sentinel-encoded (keys..., val), and each sorted block counts, per key
+    run, the pair-run starts whose val is non-null (SQL COUNT DISTINCT
+    ignores nulls; a key whose vals are ALL null still emits a row with
+    0, because the null-val pairs ride the sort as sentinel pairs).
+    Interior key runs can't straddle blocks after a global sort, so each
+    block resolves locally (``num_returns=2``) and the driver stitches
+    O(blocks) edge rows — plus one extra correction ``_sorted_multi_reduce``
+    doesn't need: the SAME (key, val) pair duplicated across a block
+    boundary must count once, so each block whose first pair equals its
+    predecessor's last pair decrements its first run by 1.
+
+    ``val_col`` must not be floating-point: NaN != NaN would split what
+    SQL DISTINCT treats as one value (DuckDB groups NaNs together), and
+    Ray's range sort is only pinned safe for non-float boundaries here.
+    Keys may be any type, nulls group together (SQL GROUP BY).
+
+    Reference: no aggregation surface in /root/reference — SURVEY §2
+    relational family.
+    """
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    ds = _to_arrow_blocks(ds)
+    schema, ds = _unified_schema(ds)
+    names = list(schema.names)
+    for c in key_cols + [val_col]:
+        if c not in names:
+            raise KeyError(f"column {c!r} not in dataset ({names})")
+    if out_name in key_cols:
+        raise ValueError(f"out_name {out_name!r} collides with a key column")
+    vt = schema.field(val_col).type
+    if pa.types.is_floating(vt):
+        raise TypeError(
+            f"group_nunique: {val_col!r} is {vt} — float DISTINCT is "
+            "NaN-ambiguous (NaN != NaN would split one SQL-distinct value); "
+            "cast to a fixed-point/integer representation first"
+        )
+
+    from liken_ray.extras.windows import _sentinel_pair
+
+    skey_cols: list[str] = []
+    key_fields: list[pa.Field] = []
+    for i, kc in enumerate(key_cols):
+        skey_cols += [f"_gn{i}n", f"_gn{i}f"]
+        key_fields += [
+            pa.field(f"_gn{i}n", pa.uint8()),
+            pa.field(f"_gn{i}f", schema.field(kc).type),
+        ]
+    sval_cols = ["_gnvn", "_gnvf"]
+    sort_cols = skey_cols + sval_cols
+    psch = pa.schema(
+        key_fields + [pa.field("_gnvn", pa.uint8()), pa.field("_gnvf", vt)]
+    )
+
+    def build(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for i, kc in enumerate(key_cols):
+            cols.update(
+                _sentinel_pair(_typed(batch[kc], schema.field(kc).type), f"_gn{i}")
+            )
+        cols.update(_sentinel_pair(_typed(batch[val_col], vt), "_gnv"))
+        t = pa.table(cols)
+        return t.group_by(sort_cols).aggregate([]).select(sort_cols)
+
+    key_types = {kc: schema.field(kc).type for kc in key_cols}
+    out_fields = [pa.field(kc, key_types[kc]) for kc in key_cols] + [
+        pa.field(out_name, pa.int64())
+    ]
+    typed_empty = ray.data.from_arrow(pa.schema(out_fields).empty_table())
+
+    parts = ds.map_batches(build, batch_format="pyarrow")
+    srt = parts.sort(sort_cols).materialize()
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        return typed_empty
+
+    def _chunkless(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def _multi_change(t: pa.Table, cols: list[str]) -> np.ndarray:
+        n = t.num_rows
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = None
+            for c in cols:
+                col = _chunkless(t[c])
+                d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                neq = d if neq is None else pc.or_(neq, d)
+            change[1:] = neq.to_numpy(zero_copy_only=False)
+        return change
+
+    def _ident(t: pa.Table, i: int) -> tuple:
+        return tuple(t[c][i].as_py() for c in sort_cols)
+
+    @ray.remote(num_returns=2)
+    def seg(block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        key_change = _multi_change(t, skey_cols)
+        pair_change = _multi_change(t, sort_cols)
+        # the sorted partials can still repeat a pair (each input batch
+        # DISTINCTed independently) — only pair-run STARTS with a non-null
+        # val contribute
+        valid = pc.equal(
+            _chunkless(t["_gnvn"]), pa.scalar(0, pa.uint8())
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(key_change)
+        contrib = (pair_change & valid).astype(np.int64)
+        cnt = np.add.reduceat(contrib, starts)
+        take = pa.array(starts, pa.int64())
+        red_cols = {kc: _chunkless(t[kc]).take(take) for kc in skey_cols}
+        red_cols[out_name] = pa.array(cnt, pa.int64())
+        red = pa.table(red_cols)
+        m = red.num_rows
+        edge_idx = [0] if m == 1 else [0, m - 1]
+        inner = red.slice(1, max(0, m - 2))
+        meta = {
+            "edges": red.take(pa.array(edge_idx, pa.int64())),
+            "first_pair": _ident(t, 0),
+            "last_pair": _ident(t, n - 1),
+        }
+        return inner, meta
+
+    outs = [seg.remote(r) for r in refs]
+    inner_refs = [o[0] for o in outs]
+    metas = ray.get([o[1] for o in outs])
+
+    merged: dict[tuple, dict] = {}
+    order: list[tuple] = []
+    prev_last: tuple | None = None
+    for mt in metas:
+        rows = mt["edges"].to_pylist()
+        # boundary dedupe: this block's first pair already counted in the
+        # predecessor — and only non-null vals ever counted
+        if (
+            prev_last is not None
+            and mt["first_pair"] == prev_last
+            and mt["first_pair"][len(skey_cols)] == 0
+        ):
+            rows[0][out_name] -= 1
+        prev_last = mt["last_pair"]
+        for r in rows:
+            k = tuple(r[kc] for kc in skey_cols)
+            if k in merged:
+                merged[k][out_name] += r[out_name]
+            else:
+                merged[k] = r
+                order.append(k)
+    stitched = pa.table(
+        {
+            c: pa.array(
+                [merged[k][c] for k in order],
+                psch.field(c).type if c != out_name else pa.int64(),
+            )
+            for c in skey_cols + [out_name]
+        }
+    )
+    red = ray.data.from_arrow_refs(inner_refs + [ray.put(stitched)])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for i, kc in enumerate(key_cols):
+            cols[kc] = pc.if_else(
+                pc.cast(t[f"_gn{i}n"], pa.bool_()),
+                pa.scalar(None, type=key_types[kc]),
+                t[f"_gn{i}f"],
+            )
+        cols[out_name] = t[out_name]
         return pa.table(cols)
 
     return red.map_batches(finalize, batch_format="pyarrow").union(typed_empty)

@@ -1090,6 +1090,41 @@ def _lineitem_agg_by_partkey(sf_dir: str):
     )
 
 
+def _running_value_per_user(sf_dir: str):
+    """Per-user running value in (ts, event_id) order — SQL SUM OVER
+    (PARTITION BY ... ORDER BY ...) as ONE range sort + per-block prefix
+    sums + an O(blocks) (sum, count) carry chain. event_id makes the
+    order globally unique (lineitem's (orderkey, linenumber) ties in the
+    synthetic data, where SQL's default RANGE frame sums all peers);
+    values ride as FLOOR(value*100) integer cents — floor is bit-identical
+    in arrow and DuckDB, unlike half-even vs half-away rounding — so the
+    running sum is associativity-free and hash-stable."""
+    from liken_ray.extras.relational import group_cumsum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "user_id": batch["user_id"],
+                "value_cents": c,
+            }
+        )
+
+    return group_cumsum(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        ["value_cents"],
+        out_names=["cents_running"],
+    )
+
+
 def _suppliers_per_part(sf_dir: str):
     """Exact per-key COUNT(DISTINCT): distinct suppliers per part over
     lineitem (2000 keys at sf0.01). Local pair-distinct per batch, ONE
@@ -1171,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": _line_dedup_documents,
         "lineitem_agg_by_partkey": _lineitem_agg_by_partkey,
         "suppliers_per_part": _suppliers_per_part,
+        "running_value_per_user": _running_value_per_user,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1775,6 +1811,13 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_per_part": (
             "SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) "
             "AS n_supp FROM lineitem GROUP BY l_partkey"
+        ),
+        "running_value_per_user": (
+            "SELECT event_id, ts, user_id, "
+            "CAST(FLOOR(value * 100) AS BIGINT) AS value_cents, "
+            "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS cents_running FROM events"
         ),
         "cross_corpus_dedup_documents": (
             "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("

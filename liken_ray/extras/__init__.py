@@ -61,6 +61,7 @@ from liken_ray.extras.multimodal import (
 )
 from liken_ray.extras.relational import (
     group_agg,
+    group_cumsum,
     group_nunique,
     group_quantiles,
     group_shift,
@@ -125,6 +126,7 @@ __all__ = [
     "line_dedup",
     # relational
     "group_agg",
+    "group_cumsum",
     "group_nunique",
     "group_topk",
     "group_shift",

@@ -1221,3 +1221,166 @@ def group_nunique(ds, key_cols: Sequence[str], val_col: str, out_name: str = "nu
         return pa.table(cols)
 
     return red.map_batches(finalize, batch_format="pyarrow").union(typed_empty)
+
+
+def group_cumsum(
+    ds,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    out_names: Sequence[str] | None = None,
+):
+    """Per-key running totals: SQL ``SUM(v) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` for each value column.
+
+    ONE range sort by the sentinel-encoded key + order columns (the only
+    shuffle), then each block computes vectorized within-run prefix sums
+    and the driver chains ONE (sum, non-null count) scalar pair per block
+    boundary (O(blocks)) for key runs that straddle blocks. SQL null
+    semantics: null values don't advance the sum, and rows before the
+    first non-null value in their partition emit NULL (SUM of an all-null
+    frame). Integer/boolean inputs accumulate in int64 (null-bearing
+    int64 stays exact — identity fill + a valid-count companion keeps the
+    numpy path off the float64 trap); floats accumulate in float64, where
+    the block-boundary carry re-associates the sum (same caveat as any
+    parallel float sum). Order columns must be non-null (range-sort keys)
+    and should be unique per key for a deterministic result — exactly the
+    determinism SQL itself requires of a window ORDER BY.
+
+    Reference: no window surface in /root/reference — SURVEY §2
+    relational family (the packing/position ops' running-total sibling).
+    """
+    p_order = list(order_cols)
+    value_cols = list(value_cols)
+    if not p_order:
+        raise ValueError("order_cols must be non-empty")
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    ds = _to_arrow_blocks(ds)
+    schema, ds = _unified_schema(ds)
+    names = list(schema.names)
+    for c in [key_col, *p_order, *value_cols]:
+        if c not in names:
+            raise KeyError(f"column {c!r} not in dataset ({names})")
+    if out_names is None:
+        out_names = [f"{c}_cumsum" for c in value_cols]
+    out_names = list(out_names)
+    if len(out_names) != len(value_cols):
+        raise ValueError("out_names must match value_cols length")
+    clash = sorted(set(out_names) & set(names))
+    if clash:
+        raise ValueError(f"out_names collide with input columns: {clash!r}")
+    key_type = schema.field(key_col).type
+
+    def _acc(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_floating(t):
+            return pa.float64()
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            return pa.int64()
+        raise TypeError(f"group_cumsum needs numeric value columns, got {t}")
+
+    acc_types = {oc: _acc(schema.field(c).type) for oc, c in zip(out_names, value_cols)}
+
+    def encode(t: pa.Table) -> pa.Table:
+        for c in p_order:
+            if _typed(t[c], schema.field(c).type).null_count:
+                raise ValueError(
+                    f"group_cumsum: order column {c!r} contains nulls; order "
+                    "columns are range-sort keys — drop or fill them first"
+                )
+        key = _typed(t[key_col], key_type)
+        t = t.set_column(
+            t.schema.get_field_index(key_col), key_col, key
+        )
+        t = t.append_column("_cs_null", pc.cast(pc.is_null(key), pa.uint8()))
+        return t.append_column("_cs_key", pc.fill_null(key, _zero_scalar(key_type)))
+
+    srt = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .sort(["_cs_null", "_cs_key", *p_order])
+        .materialize()
+    )
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        out_schema = pa.schema(
+            [schema.field(c) for c in names]
+            + [pa.field(oc, acc_types[oc]) for oc in out_names]
+        )
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    def _filled_valid(t: pa.Table, vc: str, acc: pa.DataType):
+        col = _typed(t[vc], schema.field(vc).type)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(col, _zero_scalar(col.type)).cast(acc)
+        return filled.to_numpy(zero_copy_only=False), valid
+
+    @ray.remote
+    def summarize(block) -> dict:
+        """(first/last key ident, last-run per-column (sum, count))."""
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        change = _sentinel_key_change(t, "_cs_null", "_cs_key")
+        last_start = int(np.flatnonzero(change)[-1])
+        tail: dict[str, tuple] = {}
+        for vc, oc in zip(value_cols, out_names):
+            v, valid = _filled_valid(t, vc, acc_types[oc])
+            seg = v[last_start:]
+            tail[oc] = (seg.sum().item(), int(valid[last_start:].sum()))
+        return {
+            "first": _sentinel_ident(t, "_cs_null", "_cs_key", 0),
+            "last": _sentinel_ident(t, "_cs_null", "_cs_key", n - 1),
+            "tail": tail,
+        }
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    zero = {oc: (0, 0) for oc in out_names}
+    carry_in: list[dict | None] = []
+    cur: tuple | None = None
+    have = False
+    acc_run = dict(zero)
+    for s in summaries:
+        same_start = have and s["first"] == cur
+        carry_in.append({k: v for k, v in acc_run.items()} if same_start else None)
+        entering = acc_run if same_start and s["first"] == s["last"] else zero
+        acc_run = {
+            oc: (
+                entering[oc][0] + s["tail"][oc][0],
+                entering[oc][1] + s["tail"][oc][1],
+            )
+            for oc in out_names
+        }
+        cur, have = s["last"], True
+
+    @ray.remote
+    def finalize(block, carry: dict | None):
+        t = BlockAccessor.for_block(block).to_arrow()
+        n = t.num_rows
+        change = _sentinel_key_change(t, "_cs_null", "_cs_key")
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        run_start = starts[seg]
+        first_run = seg == 0
+        out = t.drop_columns(["_cs_null", "_cs_key"])
+        for vc, oc in zip(value_cols, out_names):
+            acc = acc_types[oc]
+            v, valid = _filled_valid(t, vc, acc)
+            total = np.cumsum(v)
+            cnt_total = np.cumsum(valid.astype(np.int64))
+            # within-run prefix: subtract the prefix just BEFORE the run
+            base = total[run_start] - v[run_start]
+            cnt_base = cnt_total[run_start] - valid[run_start]
+            cum = total - base
+            cnt = cnt_total - cnt_base
+            if carry is not None:
+                csum, ccnt = carry[oc]
+                cum = np.where(first_run, cum + csum, cum)
+                cnt = np.where(first_run, cnt + ccnt, cnt)
+            arr = pa.array(cum, type=acc)
+            has = pa.array(cnt > 0)
+            arr = pc.if_else(has, arr, pa.scalar(None, type=acc))
+            out = out.append_column(oc, arr)
+        return out
+
+    return ray.data.from_arrow_refs(
+        [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
+    )

@@ -987,6 +987,38 @@ def _anti_join_lineitem_orders(sf_dir: str):
     )
 
 
+def _outer_join_lineitem_orders(sf_dir: str):
+    """FULL OUTER JOIN: heavy lineitems (qty >= 25) x open orders. Open
+    orders whose lineitems are all light become right-only rows (null
+    left columns), exercising the anti-join leg; right_on rides in
+    right_cols so those rows stay identifiable."""
+    from liken_ray.extras.joins import merge_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def heavy(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["l_quantity"], 25.0))
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+    def open_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "O"))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    return merge_join(
+        li.map_batches(heavy, batch_format="pyarrow"),
+        orders.map_batches(open_orders, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        right_cols=["o_orderkey", "o_custkey"],
+        how="outer",
+    )
+
+
 def _group_shift_events(sf_dir: str):
     """Per-user LAG(value): each event's previous value in (ts, event_id)
     order — ONE range sort + per-block shift with an O(periods) rolling
@@ -1125,6 +1157,16 @@ def _running_value_per_user(sf_dir: str):
     )
 
 
+def _distinct_lang_source(sf_dir: str):
+    """Exact SELECT DISTINCT (lang, source): local per-batch distinct, one
+    range sort of the survivors, run-start keep with an O(blocks)
+    boundary drop."""
+    from liken_ray.extras.relational import distinct
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+    return distinct(docs, ["lang", "source"])
+
+
 def _suppliers_per_part(sf_dir: str):
     """Exact per-key COUNT(DISTINCT): distinct suppliers per part over
     lineitem (2000 keys at sf0.01). Local pair-distinct per batch, ONE
@@ -1201,12 +1243,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_join_lineitem_orders": _merge_join_lineitem_orders,
         "semi_join_lineitem_orders": _semi_join_lineitem_orders,
         "anti_join_lineitem_orders": _anti_join_lineitem_orders,
+        "outer_join_lineitem_orders": _outer_join_lineitem_orders,
         "group_shift_events": _group_shift_events,
         "range_join_click_windows": _range_join_click_windows,
         "line_dedup_documents": _line_dedup_documents,
         "lineitem_agg_by_partkey": _lineitem_agg_by_partkey,
         "suppliers_per_part": _suppliers_per_part,
         "running_value_per_user": _running_value_per_user,
+        "distinct_lang_source": _distinct_lang_source,
         "cross_corpus_dedup_documents": _cross_corpus_dedup_documents,
         "corpus_ngram_counts_documents": _corpus_ngram_counts_documents,
         "top_docs_per_lang": _top_docs_per_lang,
@@ -1773,6 +1817,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O')"
         ),
+        "outer_join_lineitem_orders": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+            "o.o_orderkey, o.o_custkey "
+            "FROM (SELECT * FROM lineitem WHERE l_quantity >= 25) l "
+            "FULL JOIN (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderstatus = 'O') o ON l.l_orderkey = o.o_orderkey"
+        ),
         "group_shift_events": (
             "SELECT event_id, ts, user_id, event_type, value, "
             "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
@@ -1811,6 +1862,9 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_per_part": (
             "SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) "
             "AS n_supp FROM lineitem GROUP BY l_partkey"
+        ),
+        "distinct_lang_source": (
+            "SELECT DISTINCT lang, source FROM documents"
         ),
         "running_value_per_user": (
             "SELECT event_id, ts, user_id, "

@@ -65,6 +65,7 @@ from liken_ray.extras.relational import (
     group_nunique,
     group_quantiles,
     group_shift,
+    distinct,
     group_topk,
     quantiles,
     table_profile,
@@ -130,6 +131,7 @@ __all__ = [
     "group_nunique",
     "group_topk",
     "group_shift",
+    "distinct",
     "quantiles",
     "group_quantiles",
     "table_profile",

@@ -433,6 +433,17 @@ def merge_join(
     Ray's range sort crashes on null sort keys and NaN boundaries /
     NaN != NaN comparisons would otherwise split runs (CLAUDE.md).
 
+    ``how="outer"`` is SQL FULL OUTER JOIN, composed from two pinned
+    paths: the ``"left"`` leg plus a second pass that anti-joins the
+    right side against the (per-batch collapsed) left keys and emits the
+    survivors with null left columns — strict SQL shape: a right-only
+    row surfaces its key only through ``right_cols`` (include
+    ``right_on`` there to see it). Two sorts instead of one is the
+    honest price of reusing the existence machinery; both legs stream
+    and neither broadcasts. Null-key rows follow SQL: left ones pass
+    through null-filled (from the left leg), right ones emit as
+    unmatched (null never matches anything).
+
     ``how="semi"`` / ``how="anti"`` are EXISTS / NOT EXISTS filters: the
     output is exactly the left columns for left rows whose key does
     (semi) / does not (anti) appear on the right. No right payload rides
@@ -447,10 +458,13 @@ def merge_join(
     No analogue in the reference repo (/root/reference) — part of the
     SURVEY.md §2.7 "custom operators Ray Data lacks" surface.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
-            f"how must be 'inner', 'left', 'semi' or 'anti', got {how!r}"
+            f"how must be 'inner', 'left', 'outer', 'semi' or 'anti', "
+            f"got {how!r}"
         )
+    if how == "outer":
+        return _outer_join(left, right, on, right_on, right_cols, suffix)
     existence = how in ("semi", "anti")
     if existence:
         if right_cols:
@@ -655,6 +669,46 @@ def merge_join(
     return ray.data.from_arrow_refs(
         [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
     )
+
+
+def _outer_join(left, right, on, right_on, right_cols, suffix):
+    """FULL OUTER JOIN = the ``"left"`` leg UNION the right rows whose key
+    matches no left key, null-filled on the left columns. See merge_join's
+    docstring for the contract."""
+    right_on = right_on or on
+    left = _to_arrow_blocks(left)
+    right = _to_arrow_blocks(right)
+    left_schema = _schema(left)
+    right_schema = _schema(right)
+    left_names = list(left_schema.names)
+    if right_cols is None:
+        right_cols = [c for c in right_schema.names if c != right_on]
+    out_map = _right_out_map(left_names, right_cols, suffix)
+
+    left_leg = merge_join(
+        left, right, on=on, right_on=right_on, right_cols=right_cols, how="left",
+        suffix=suffix,
+    )
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return batch.select([on])
+
+    lk = left.map_batches(keys_only, batch_format="pyarrow")
+    unmatched = merge_join(right, lk, on=right_on, right_on=on, how="anti")
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, Any] = {}
+        for c in left_names:
+            cols[c] = pa.nulls(n, left_schema.field(c).type)
+        for c in right_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[out_map[c]] = col
+        return pa.table(cols)
+
+    return left_leg.union(unmatched.map_batches(shape, batch_format="pyarrow"))
 
 
 def range_join(

@@ -1384,3 +1384,124 @@ def group_cumsum(
     return ray.data.from_arrow_refs(
         [finalize.remote(r, ci) for r, ci in zip(refs, carry_in)]
     )
+
+
+def distinct(ds, cols: Sequence[str]):
+    """``SELECT DISTINCT cols...`` — exact global distinct at HIGH
+    cardinality, without Ray's Aggregate/unique operators.
+
+    Each batch locally DISTINCTs its rows with one vectorized
+    ``pyarrow.Table.group_by`` (so only per-batch-distinct rows enter the
+    shuffle), the survivors take ONE range sort by the sentinel-encoded
+    columns, and each sorted block keeps its run starts. The only
+    cross-block state is O(blocks) row identities: a block whose first
+    row equals its predecessor's last row drops its first kept row.
+    Null values group together (SQL DISTINCT). Float columns are
+    rejected — NaN != NaN would split what SQL DISTINCT treats as one
+    value, and Ray's range sort is only pinned safe for non-float
+    boundaries in this family.
+
+    Reference: no relational surface in /root/reference — SURVEY §2
+    relational family.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    ds = _to_arrow_blocks(ds)
+    schema, ds = _unified_schema(ds)
+    names = list(schema.names)
+    for c in cols:
+        if c not in names:
+            raise KeyError(f"column {c!r} not in dataset ({names})")
+        t = schema.field(c).type
+        if pa.types.is_floating(t):
+            raise TypeError(
+                f"distinct: {c!r} is {t} — float DISTINCT is NaN-ambiguous; "
+                "cast to a fixed-point/integer representation first"
+            )
+
+    from liken_ray.extras.windows import _sentinel_pair
+
+    scol_names: list[str] = []
+    sfields: list[pa.Field] = []
+    for i, c in enumerate(cols):
+        scol_names += [f"_dt{i}n", f"_dt{i}f"]
+        sfields += [
+            pa.field(f"_dt{i}n", pa.uint8()),
+            pa.field(f"_dt{i}f", schema.field(c).type),
+        ]
+    psch = pa.schema(sfields)
+    out_schema = pa.schema([schema.field(c) for c in cols])
+    typed_empty = ray.data.from_arrow(out_schema.empty_table())
+
+    def build(batch: pa.Table) -> pa.Table:
+        enc: dict[str, Any] = {}
+        for i, c in enumerate(cols):
+            enc.update(
+                _sentinel_pair(_typed(batch[c], schema.field(c).type), f"_dt{i}")
+            )
+        t = pa.table(enc)
+        return t.group_by(scol_names).aggregate([]).select(scol_names)
+
+    parts = ds.map_batches(build, batch_format="pyarrow")
+    srt = parts.sort(scol_names).materialize()
+    refs = _nonempty_block_refs(srt)
+    if not refs:
+        return typed_empty
+
+    def _ident(t: pa.Table, i: int) -> tuple:
+        return tuple(t[c][i].as_py() for c in scol_names)
+
+    def _multi_change(t: pa.Table, cc: list[str]) -> np.ndarray:
+        n = t.num_rows
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = None
+            for c in cc:
+                col = t[c]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                neq = d if neq is None else pc.or_(neq, d)
+            change[1:] = neq.to_numpy(zero_copy_only=False)
+        return change
+
+    @ray.remote(num_returns=2)
+    def seg(block):
+        t = BlockAccessor.for_block(block).to_arrow()
+        starts = np.flatnonzero(_multi_change(t, scol_names))
+        red = t.select(scol_names).take(pa.array(starts, pa.int64()))
+        return red, (_ident(t, 0), _ident(t, t.num_rows - 1))
+
+    outs = [seg.remote(r) for r in refs]
+    idents = ray.get([o[1] for o in outs])
+    prev_last: tuple | None = None
+    drops: list[bool] = []
+    for first, last in idents:
+        drops.append(prev_last is not None and first == prev_last)
+        prev_last = last
+
+    @ray.remote
+    def trim(red_block, drop_first: bool):
+        t = BlockAccessor.for_block(red_block).to_arrow()
+        return t.slice(1) if drop_first else t
+
+    kept = [
+        trim.remote(o[0], d) if d else o[0] for o, d in zip(outs, drops)
+    ]
+
+    def finalize(t: pa.Table) -> pa.Table:
+        dec: dict[str, Any] = {}
+        for i, c in enumerate(cols):
+            dec[c] = pc.if_else(
+                pc.cast(t[f"_dt{i}n"], pa.bool_()),
+                pa.scalar(None, type=schema.field(c).type),
+                t[f"_dt{i}f"],
+            )
+        return pa.table(dec)
+
+    return (
+        ray.data.from_arrow_refs(kept)
+        .map_batches(finalize, batch_format="pyarrow")
+        .union(typed_empty)
+    )

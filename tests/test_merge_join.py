@@ -315,3 +315,81 @@ def test_merge_join_semi_anti_large_int64_exact(ray_session):
     assert sorted(semi["k"].drop_null().to_pylist()) == [5, big]
     got_anti = anti["k"].to_pylist()
     assert len(got_anti) == 2 and big - 1 in got_anti and None in got_anti
+
+
+def test_merge_join_outer_matches_pandas(ray_session):
+    """FULL OUTER JOIN: left-only, matched, and right-only rows; null-key
+    rows on both sides surface exactly once."""
+    import ray
+
+    rng = np.random.RandomState(21)
+    n_left, n_right = 3000, 700
+    lkey = rng.randint(0, 900, n_left).astype(np.int64)
+    lnull = rng.rand(n_left) < 0.04
+    left = pd.DataFrame(
+        {
+            "k": pd.array(np.where(lnull, 0, lkey), dtype="Int64"),
+            "lval": rng.randint(0, 10**6, n_left).astype(np.int64),
+        }
+    )
+    left.loc[lnull, "k"] = pd.NA
+    rkeys = rng.permutation(1200)[:n_right].astype(np.int64)  # some unmatched
+    right = pd.DataFrame(
+        {
+            "rk": pd.array(rkeys, dtype="Int64"),
+            "rval": rng.randint(0, 10**6, n_right).astype(np.int64),
+        }
+    )
+    right.loc[0, "rk"] = pd.NA  # a null-key right row -> right-only output
+    lds = ray.data.from_pandas(left).repartition(9)
+    rds = ray.data.from_pandas(right).repartition(4)
+    got = merge_join(
+        lds, rds, on="k", right_on="rk", right_cols=["rval"], how="outer"
+    ).to_pandas()
+    # pandas outer-merge matches NA keys together; SQL does not — build
+    # the expectation as left join + unmatched right (incl. the null-key row)
+    lj = left.merge(
+        right.dropna(subset=["rk"]), how="left", left_on="k", right_on="rk"
+    ).drop(columns=["rk"])
+    matched = set(right.dropna(subset=["rk"])["rk"].astype(int)) & set(
+        left["k"].dropna().astype(int)
+    )
+    ronly = right[~right["rk"].isin(matched)].copy()
+    rexp = pd.DataFrame(
+        {"k": pd.array([pd.NA] * len(ronly), dtype="Int64"),
+         "lval": pd.array([pd.NA] * len(ronly), dtype="Int64"),
+         "rval": ronly["rval"].to_numpy()}
+    )
+    want = pd.concat([lj, rexp], ignore_index=True)
+    _assert_frames_equal(got, want)
+
+
+def test_merge_join_outer_all_matched_equals_left(ray_session):
+    import ray
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64) % 10,
+                         "lv": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(10, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64) * 7})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    outer = merge_join(lds, rds, on="k", right_on="rk",
+                       right_cols=["rv"], how="outer").to_pandas()
+    lj = merge_join(lds, rds, on="k", right_on="rk",
+                    right_cols=["rv"], how="left").to_pandas()
+    _assert_frames_equal(outer, lj)
+
+
+def test_merge_join_outer_surfaces_right_key_via_right_cols(ray_session):
+    import ray
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([2, 9], dtype=np.int64),
+                          "rv": np.array([20, 90], dtype=np.int64)})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    got = merge_join(lds, rds, on="k", right_on="rk",
+                     right_cols=["rk", "rv"], how="outer").to_pandas()
+    ronly = got[got["k"].isna()]
+    assert ronly["rk"].astype(int).tolist() == [9]
+    assert ronly["rv"].astype(int).tolist() == [90]
